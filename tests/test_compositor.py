@@ -1,0 +1,268 @@
+"""Golden semantics tests for the compositor core.
+
+The first block mirrors the reference's own deterministic mapping assertions
+(reference tests/test_compositor.py); the second block property-tests the
+movement kernel against a straight numpy oracle implementing the reference's
+sequential scatter semantics (transflow/compositor/layers/movement.py:25-60).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transflow_tpu.compositor import Compositor
+from transflow_tpu.compositor.core import (
+    LayerParams, init_layer_state, render_layer, update_introduction,
+    update_moveref, update_static, update_sum)
+from transflow_tpu.config import LayerConfig
+
+KEY = jax.random.PRNGKey(0)
+
+
+def make_params(cfg, h, w, sources=()):
+    intro_masks = [m for _, m in sources]
+    channels = [c for c, _ in sources]
+    return LayerParams(cfg, h, w, intro_masks, channels)
+
+
+def small_flow():
+    # flow[0,0] and flow[0,1] = (dx=0, dy=1): those cells pull from the row below
+    return jnp.asarray(
+        [[[0, 1], [0, 1], [0, 0]], [[0, 0], [0, 0], [0, 0]]],
+        dtype=jnp.float32)
+
+
+class TestGolden:
+    """Mirrors reference tests/test_compositor.py assertions."""
+
+    def test_background(self):
+        comp = Compositor(1, 1, [], {}, background_color="#ff8000")
+        rgb = comp.render()
+        assert rgb.shape == (1, 1, 3)
+        assert rgb.dtype == np.uint8
+        assert tuple(rgb[0, 0]) == (255, 128, 0)
+
+    def test_moveref(self):
+        params = make_params(LayerConfig(0), 2, 3)
+        state = init_layer_state(params)
+        state = update_moveref(params, state, small_flow(), (), KEY)
+        assert int(state["pos_i"][0, 0]) == 1
+        assert int(state["pos_j"][0, 0]) == 0
+        assert int(state["pos_i"][0, 1]) == 1
+        assert int(state["pos_j"][0, 1]) == 1
+
+    def test_moveref_reset(self):
+        params = make_params(
+            LayerConfig(0, reset_mode="random", reset_random_factor=1), 2, 3)
+        state = init_layer_state(params)
+        state = update_moveref(params, state, small_flow(), (), KEY)
+        assert int(state["pos_i"][0, 0]) == 0
+        assert int(state["pos_j"][0, 0]) == 0
+        assert int(state["pos_i"][0, 1]) == 0
+        assert int(state["pos_j"][0, 1]) == 1
+
+    def test_moveref_reset_mask(self):
+        params = make_params(
+            LayerConfig(0, reset_mode="random", reset_random_factor=1,
+                        reset_mask="border-left:1"), 2, 3)
+        state = init_layer_state(params)
+        state = update_moveref(params, state, small_flow(), (), KEY)
+        assert int(state["pos_i"][0, 0]) == 0
+        assert int(state["pos_j"][0, 0]) == 0
+        assert int(state["pos_i"][0, 1]) == 1
+        assert int(state["pos_j"][0, 1]) == 1
+
+    def test_static_smoke(self):
+        params = make_params(LayerConfig(0, classname="static"), 2, 3)
+        state = init_layer_state(params)
+        state = update_static(params, state, small_flow(), (), KEY)
+        _, rgba = render_layer(params, state)
+        assert rgba.shape == (2, 3, 4)
+
+    def test_sum_smoke(self):
+        params = make_params(LayerConfig(0, classname="sum"), 2, 3)
+        state = init_layer_state(params)
+        state = update_sum(params, state, small_flow(), (), KEY)
+        # dy=1 at (0,0): pos_i accumulates the y component (intended
+        # semantics; the reference transposes here — documented deviation)
+        assert int(state["pos_i"][0, 0]) == 1
+
+    def test_introduction_smoke(self):
+        params = make_params(LayerConfig(0, classname="introduction"), 2, 3)
+        state = init_layer_state(params)
+        state = update_introduction(params, state, small_flow(), (), KEY, ())
+        assert bool(state["introduced_once"])
+
+
+class TestRendering:
+
+    def test_moveref_gather(self):
+        mask = np.ones((2, 3), dtype=bool)
+        params = make_params(LayerConfig(0), 2, 3, sources=[(3, mask)])
+        state = init_layer_state(params)
+        pixmap = jnp.arange(2 * 3 * 3, dtype=jnp.uint8).reshape(2, 3, 3)
+        state = update_moveref(params, state, small_flow(), (pixmap,), KEY)
+        _, rgba = render_layer(params, state)
+        # cell (0,0) maps to pixmap (1,0); cell (2nd row) identity
+        np.testing.assert_array_equal(np.asarray(rgba[0, 0, :3]),
+                                      np.asarray(pixmap[1, 0]))
+        np.testing.assert_array_equal(np.asarray(rgba[1, 2, :3]),
+                                      np.asarray(pixmap[1, 2]))
+        assert np.all(np.asarray(rgba[..., 3]) == 1)
+
+    def test_composite_overwrite(self):
+        mask = np.ones((2, 2), dtype=bool)
+        comp = Compositor(2, 2, [LayerConfig(0)],
+                          {0: [(3, mask)]}, background_color="#000000")
+        pixmap = np.full((2, 2, 3), 200, dtype=np.uint8)
+        comp.set_pixmap(0, 0, pixmap)
+        comp.update(np.zeros((2, 2, 2), dtype=np.float32))
+        rgb = comp.render()
+        assert np.all(rgb == 200)
+
+    def test_mask_alpha_hides_layer(self):
+        mask = np.ones((2, 2), dtype=bool)
+        comp = Compositor(2, 2, [LayerConfig(0, mask_alpha="zeros")],
+                          {0: [(3, mask)]}, background_color="#010203")
+        comp.set_pixmap(0, 0, np.full((2, 2, 3), 200, dtype=np.uint8))
+        comp.update(np.zeros((2, 2, 2), dtype=np.float32))
+        rgb = comp.render()
+        assert np.all(rgb == np.array([1, 2, 3]))
+
+
+# ---------------------------------------------------------------------------
+# numpy oracle for the reference's sequential movement semantics
+# ---------------------------------------------------------------------------
+
+def oracle_move(cfg: LayerConfig, pos, alpha, source, flow,
+                mask_src=None, mask_dst=None):
+    """Reference movement semantics, straight numpy, sequential scatters."""
+    h, w = alpha.shape
+    n = h * w
+    flow_int = np.round(flow).astype(np.int64)
+    flow_flat = (flow_int[..., 1] * w + flow_int[..., 0]).ravel()
+    shift = np.arange(n) + flow_flat
+    shift_c = np.clip(shift, 0, n - 1)
+    msrc = np.ones((h, w), bool) if mask_src is None else mask_src.copy()
+    if cfg.transparent_pixels_can_move:
+        src_filled = (alpha != 0).ravel()[shift_c].reshape(h, w)
+    else:
+        msrc[alpha == 0] = 0
+        src_filled = None
+    msrc = msrc.ravel()[shift_c].reshape(h, w)
+    mdst = np.ones((h, w), bool) if mask_dst is None else mask_dst.copy()
+    if not cfg.pixels_can_move_to_empty_spot:
+        mdst[alpha == 0] = 0
+    if not cfg.pixels_can_move_to_filled_spot:
+        mdst[alpha != 0] = 0
+    mask_all = (msrc.ravel() & mdst.ravel())
+    where_target = np.nonzero((flow_flat != 0) & mask_all)[0]
+    where_source = np.clip(where_target + flow_flat[where_target], 0, n - 1)
+    data = np.stack([pos[..., 0].ravel(), pos[..., 1].ravel(),
+                     alpha.ravel(), source.ravel()], axis=1)
+    new = data.copy()
+    new[where_target] = data[where_source]
+    if cfg.moving_pixels_leave_empty_spot:
+        new[where_source, 2] = 0
+    if cfg.transparent_pixels_can_move:
+        filled_targets = where_target[src_filled.ravel()[where_target]]
+        new[filled_targets, 2] = 1
+    else:
+        new[where_target, 2] = 1
+    return (new[:, :2].reshape(h, w, 2), new[:, 2].reshape(h, w),
+            new[:, 3].reshape(h, w))
+
+
+def run_movement_case(cfg, rng, h=13, w=17):
+    # random in-bounds flow (as post_process guarantees)
+    ii = np.arange(h)[:, None] * np.ones((1, w), int)
+    jj = np.ones((h, 1), int) * np.arange(w)[None, :]
+    dx = rng.integers(-3, 4, size=(h, w))
+    dy = rng.integers(-3, 4, size=(h, w))
+    dx = np.clip(dx, -jj, w - 1 - jj)
+    dy = np.clip(dy, -ii, h - 1 - ii)
+    flow = np.stack([dx, dy], axis=-1).astype(np.float32)
+    alpha0 = rng.integers(0, 2, size=(h, w)).astype(np.int32)
+    source0 = rng.integers(0, 3, size=(h, w)).astype(np.int32)
+    pos0 = np.stack([ii, jj], axis=-1).astype(np.int32)
+    mask_src = rng.random((h, w)) < 0.8
+    mask_dst = rng.random((h, w)) < 0.8
+
+    exp_pos, exp_alpha, exp_source = oracle_move(
+        cfg, pos0, alpha0, source0, flow, mask_src, mask_dst)
+
+    params = LayerParams(cfg, h, w, [], [])
+    params.mask_src = jnp.asarray(mask_src)
+    params.mask_dst = jnp.asarray(mask_dst)
+    state = {
+        "pos_i": jnp.asarray(pos0[..., 0]),
+        "pos_j": jnp.asarray(pos0[..., 1]),
+        "alpha": jnp.asarray(alpha0),
+        "source": jnp.asarray(source0),
+        "rgba": jnp.zeros((h, w, 4), dtype=jnp.uint8),
+    }
+    state = update_moveref(params, state, jnp.asarray(flow), (), KEY)
+    np.testing.assert_array_equal(np.asarray(state["pos_i"]), exp_pos[..., 0])
+    np.testing.assert_array_equal(np.asarray(state["pos_j"]), exp_pos[..., 1])
+    np.testing.assert_array_equal(np.asarray(state["alpha"]), exp_alpha)
+    np.testing.assert_array_equal(np.asarray(state["source"]), exp_source)
+
+
+class TestMovementVsOracle:
+
+    def test_default_flags(self):
+        rng = np.random.default_rng(1)
+        for _ in range(3):
+            run_movement_case(LayerConfig(0), rng)
+
+    def test_leave_empty(self):
+        rng = np.random.default_rng(2)
+        run_movement_case(
+            LayerConfig(0, moving_pixels_leave_empty_spot=True), rng)
+
+    def test_no_move_to_filled(self):
+        rng = np.random.default_rng(3)
+        run_movement_case(
+            LayerConfig(0, pixels_can_move_to_filled_spot=False), rng)
+
+    def test_no_move_to_empty(self):
+        rng = np.random.default_rng(4)
+        run_movement_case(
+            LayerConfig(0, pixels_can_move_to_empty_spot=False), rng)
+
+    def test_transparent_can_move(self):
+        rng = np.random.default_rng(5)
+        run_movement_case(
+            LayerConfig(0, transparent_pixels_can_move=True), rng)
+
+    def test_transparent_and_leave_empty(self):
+        rng = np.random.default_rng(6)
+        run_movement_case(
+            LayerConfig(0, transparent_pixels_can_move=True,
+                        moving_pixels_leave_empty_spot=True), rng)
+
+
+class TestResetModes:
+
+    def test_constant_step(self):
+        params = make_params(
+            LayerConfig(0, reset_mode="constant", reset_constant_step=1), 1, 5)
+        state = init_layer_state(params)
+        # displace cell (0,0) mapping far away: pos_j = 4
+        state["pos_j"] = state["pos_j"].at[0, 0].set(4)
+        flow = jnp.zeros((1, 5, 2), dtype=jnp.float32)
+        state = update_moveref(params, state, flow, (), KEY)
+        # one step back toward base (0,0): 4 -> 3
+        assert int(state["pos_j"][0, 0]) == 3
+        for _ in range(10):
+            state = update_moveref(params, state, flow, (), KEY)
+        assert int(state["pos_j"][0, 0]) == 0  # no overshoot, converges
+
+    def test_linear_relaxation(self):
+        params = make_params(
+            LayerConfig(0, reset_mode="linear", reset_linear_factor=0.5),
+            1, 9)
+        state = init_layer_state(params)
+        state["pos_j"] = state["pos_j"].at[0, 0].set(8)
+        flow = jnp.zeros((1, 9, 2), dtype=jnp.float32)
+        state = update_moveref(params, state, flow, (), KEY)
+        assert int(state["pos_j"][0, 0]) == 4  # 8 + round(0.5 * (0-8))

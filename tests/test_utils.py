@@ -1,0 +1,144 @@
+import math
+import os
+
+import numpy as np
+import pytest
+
+from transflow_tpu.utils import (
+    find_unique_path, load_bool_mask, load_float_mask, parse_color,
+    parse_expression, parse_lock_intervals, parse_size, parse_timestamp)
+
+
+class TestColors:
+
+    def test_named(self):
+        assert parse_color("red") == (255, 0, 0)
+        assert parse_color("Black") == (0, 0, 0)
+        assert parse_color("rebeccapurple") == (102, 51, 153)
+
+    def test_hex(self):
+        assert parse_color("#ff8000") == (255, 128, 0)
+        assert parse_color("ff8000") == (255, 128, 0)
+        assert parse_color("0xff8000") == (255, 128, 0)
+
+    def test_rgb(self):
+        assert parse_color("rgb(1, 2, 3)") == (1, 2, 3)
+        assert parse_color("(1,2,3)") == (1, 2, 3)
+
+
+class TestMasks:
+
+    def test_default(self):
+        m = load_float_mask(None, (4, 5), 1.0)
+        assert m.shape == (4, 5)
+        assert np.all(m == 1.0)
+
+    def test_keywords(self):
+        assert np.all(load_float_mask("zeros", (3, 3)) == 0)
+        assert np.all(load_float_mask("ones", (3, 3)) == 1)
+        r = load_float_mask("random", (8, 8))
+        assert r.min() >= 0 and r.max() <= 1
+
+    def test_border(self):
+        m = load_float_mask("border-left:1", (2, 3))
+        expected = np.array([[1, 0, 0], [1, 0, 0]], dtype=np.float32)
+        assert np.array_equal(m, expected)
+        m = load_float_mask("border:1", (4, 4))
+        assert m[0, 0] == 1 and m[1, 1] == 0 and m[3, 3] == 1
+
+    def test_border_percent(self):
+        m = load_float_mask("border-top:50%", (4, 6))
+        assert np.array_equal(m[:2], np.ones((2, 6))) and np.all(m[2:] == 0)
+
+    def test_lines(self):
+        m = load_float_mask("hline:2", (4, 4))
+        assert np.all(m[1:3] == 1) and np.all(m[0] == 0) and np.all(m[3] == 0)
+        m = load_float_mask("vline:2", (4, 4))
+        assert np.all(m[:, 1:3] == 1) and np.all(m[:, 0] == 0)
+
+    def test_circle(self):
+        m = load_float_mask("circle:2", (8, 8))
+        assert m[4, 4] == 1 and m[0, 0] == 0
+
+    def test_rect(self):
+        m = load_float_mask("rect:2:2", (6, 6))
+        assert m[3, 3] == 1 and m[0, 0] == 0
+
+    def test_grid(self):
+        m = load_float_mask("grid:2:2:2", (16, 16))
+        assert m[4, 4] == 1 and m[0, 0] == 0
+
+    def test_inverse(self):
+        m = load_float_mask("zeros:inv", (2, 2))
+        assert np.all(m == 1)
+
+    def test_image(self, tmp_path):
+        import PIL.Image
+        arr = np.zeros((4, 4, 3), dtype=np.uint8)
+        arr[:2] = 255
+        path = str(tmp_path / "mask.png")
+        PIL.Image.fromarray(arr).save(path)
+        m = load_float_mask(path)
+        assert m.shape == (4, 4)
+        assert np.all(m[:2] == 1) and np.all(m[2:] == 0)
+
+    def test_bool(self):
+        m = load_bool_mask("ones", (2, 2))
+        assert m.dtype == bool and np.all(m)
+
+
+class TestExpr:
+
+    def test_scalar(self):
+        fn = parse_expression("0.5 * t + 1")
+        assert fn(2.0) == 2.0
+
+    def test_math(self):
+        fn = parse_expression("math.sin(t)")
+        assert abs(float(fn(0.0))) < 1e-6
+
+    def test_arrays(self):
+        fn = parse_expression("r * np.cos(a)", ("t", "r", "a"))
+        r = np.ones((2, 2), dtype=np.float32)
+        a = np.zeros((2, 2), dtype=np.float32)
+        out = np.asarray(fn(0.0, r, a))
+        assert np.allclose(out, 1.0)
+
+    def test_rejects_dunder(self):
+        with pytest.raises(ValueError):
+            parse_expression("().__class__")
+        with pytest.raises(ValueError):
+            parse_expression("__import__('os')")
+        with pytest.raises(ValueError):
+            parse_expression("open('/etc/passwd')")
+
+    def test_lock_intervals(self):
+        assert parse_lock_intervals("(1, 2)") == ((1.0, 2.0),)
+        assert parse_lock_intervals("(1, 2), (3, 4)") == ((1.0, 2.0), (3.0, 4.0))
+
+
+class TestMisc:
+
+    def test_timestamp(self):
+        assert parse_timestamp("00:00:01") == 1
+        assert parse_timestamp("01:02:03.500") == 3723.5
+        assert parse_timestamp(4.5) == 4.5
+        assert parse_timestamp(None) is None
+
+    def test_size(self):
+        assert parse_size("1920x1080") == (1920, 1080)
+        assert parse_size([640, 480]) == (640, 480)
+        assert parse_size(None) is None
+
+    def test_unique_path(self, tmp_path):
+        path = str(tmp_path / "out.mp4")
+        assert find_unique_path(path) == path
+        with open(path, "w") as f:
+            f.write("x")
+        assert find_unique_path(path) == str(tmp_path / "out.000.mp4")
+
+    def test_unique_path_flow(self, tmp_path):
+        path = str(tmp_path / "video.flow.zip")
+        with open(path, "w") as f:
+            f.write("x")
+        assert find_unique_path(path) == str(tmp_path / "video.000.flow.zip")

@@ -1,0 +1,454 @@
+"""Functional compositor core — the per-frame stateful pixel-mapping update.
+
+Parity reference: transflow/compositor/ (compositor.py, layers/*.py). The
+reference mutates (H, W, DEPTH) int32 buffers with numpy.put scatters; here
+every layer update is a pure function over a pytree of arrays, designed for
+TPU:
+
+* The reference's scatter permutation (movement.py:25-60) is re-expressed as a
+  **gather**: ``new[p] = data[p + flow[p]]`` where p is a target. Targets are
+  unique by construction, so no scatter conflicts exist; the only true
+  scatters left write constants (alpha 0/1), which are order-independent and
+  implemented with an associative scatter-max (ops/scatter.py).
+* All updates for all layers fuse into one jitted step; `jax.lax.scan` over a
+  chunk of frames amortizes dispatch (see pipeline.py).
+* Reset randomness uses jax PRNG keys (statistical parity with the
+  reference's global numpy RNG, per SURVEY §7 "Exact-parity RNG").
+
+Known reference bugs NOT replicated (documented deviations):
+* introduction.py:26,36 — ``numpy.where(x) == 0`` is always False, making the
+  introduce-on-empty / introduce-unmoving exclusions no-ops. We implement the
+  intended semantics.
+* sum.py:9-14 adds flow x-component to the row index and y to the column
+  (transposed); movement.py and the WebGL acc shader agree on (dy->i, dx->j),
+  which is what we implement.
+"""
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LayerConfig
+from ..utils import load_bool_mask, load_float_mask, parse_color
+from ..ops.scatter import scatter_any
+
+
+# --------------------------------------------------------------------------
+# Layer parameter bundles (host-side, static per pipeline)
+# --------------------------------------------------------------------------
+
+class LayerParams:
+    """Static per-layer data: config flags plus device-constant mask arrays."""
+
+    def __init__(self, cfg: LayerConfig, height: int, width: int,
+                 intro_masks: Sequence[np.ndarray],
+                 channel_counts: Sequence[int]):
+        self.cfg = cfg
+        self.height = height
+        self.width = width
+        shape = (height, width)
+        self.mask_alpha = jnp.asarray(
+            load_float_mask(cfg.mask_alpha, shape, 1.0))
+        self.mask_src = jnp.asarray(load_bool_mask(cfg.mask_src, shape, True))
+        self.mask_dst = jnp.asarray(load_bool_mask(cfg.mask_dst, shape, True))
+        self.reset_mask = jnp.asarray(
+            load_float_mask(cfg.reset_mask, shape, 1.0))
+        self.intro_masks = tuple(jnp.asarray(m) for m in intro_masks)
+        self.channel_counts = tuple(channel_counts)
+        self.num_sources = len(self.intro_masks)
+
+    def base_source(self) -> jnp.ndarray:
+        """Initial per-pixel source index: later sources overwrite earlier.
+
+        Parity: transflow/compositor/layers/reference.py:46-52.
+        """
+        source = jnp.zeros((self.height, self.width), dtype=jnp.int32)
+        for s, mask in enumerate(self.intro_masks):
+            source = jnp.where(mask, jnp.int32(s), source)
+        return source
+
+
+def _base_coords(height: int, width: int):
+    ii = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    return ii, jj
+
+
+# --------------------------------------------------------------------------
+# State initialization
+# --------------------------------------------------------------------------
+
+def init_layer_state(params: LayerParams) -> dict:
+    h, w = params.height, params.width
+    classname = params.cfg.classname
+    rgba = jnp.zeros((h, w, 4), dtype=jnp.uint8)
+    if classname == "static":
+        # StaticLayer starts opaque (static.py:9-12)
+        return {"rgba": rgba.at[:, :, 3].set(1)}
+    if classname == "introduction":
+        return {
+            "rgb": jnp.zeros((h, w, 3), dtype=jnp.uint8),
+            "alpha": jnp.zeros((h, w), dtype=jnp.int32),
+            "source": jnp.zeros((h, w), dtype=jnp.int32),
+            "pos_i": jnp.zeros((h, w), dtype=jnp.int32),
+            "pos_j": jnp.zeros((h, w), dtype=jnp.int32),
+            "frame": jnp.zeros((h, w), dtype=jnp.int32),
+            "introduced_once": jnp.zeros((), dtype=jnp.bool_),
+        }
+    # moveref / sum: identity mapping, opaque (reference.py:38-42)
+    ii, jj = _base_coords(h, w)
+    return {
+        "pos_i": ii,
+        "pos_j": jj,
+        "alpha": jnp.ones((h, w), dtype=jnp.int32),
+        "source": params.base_source(),
+        "rgba": rgba,
+    }
+
+
+# --------------------------------------------------------------------------
+# Movement (shared by moveref and introduction layers)
+# --------------------------------------------------------------------------
+
+def _movement(params: LayerParams, channels: dict, alpha, flow):
+    """Apply the flow permutation to ``channels`` + ``alpha``.
+
+    Parity: transflow/compositor/layers/movement.py:20-64, re-expressed as a
+    masked gather (see module docstring). Returns (channels, alpha, move_info)
+    where move_info = (moving, src_i, src_j) is reused by introduction.
+    """
+    cfg = params.cfg
+    h, w = params.height, params.width
+    di = jnp.round(flow[..., 1]).astype(jnp.int32)
+    dj = jnp.round(flow[..., 0]).astype(jnp.int32)
+    moving = (di != 0) | (dj != 0)
+    ii, jj = _base_coords(h, w)
+    src_i = jnp.clip(ii + di, 0, h - 1)
+    src_j = jnp.clip(jj + dj, 0, w - 1)
+    filled = alpha != 0
+    if cfg.transparent_pixels_can_move:
+        src_ok = params.mask_src[src_i, src_j]
+        src_filled = filled[src_i, src_j]
+    else:
+        src_ok = (params.mask_src & filled)[src_i, src_j]
+        src_filled = None
+    dst_ok = params.mask_dst
+    if not cfg.pixels_can_move_to_empty_spot:
+        dst_ok = dst_ok & filled
+    if not cfg.pixels_can_move_to_filled_spot:
+        dst_ok = dst_ok & ~filled
+    is_target = moving & src_ok & dst_ok
+
+    def sel(mask, a, b):
+        if a.ndim == 3:
+            mask = mask[..., None]
+        return jnp.where(mask, a, b)
+
+    out = {k: sel(is_target, v[src_i, src_j], v) for k, v in channels.items()}
+    new_alpha = jnp.where(is_target, alpha[src_i, src_j], alpha)
+    if cfg.moving_pixels_leave_empty_spot:
+        flat_src = (src_i * w + src_j).ravel()
+        is_source = scatter_any((h, w), flat_src, is_target.ravel())
+        new_alpha = jnp.where(is_source, 0, new_alpha)
+    if cfg.transparent_pixels_can_move:
+        new_alpha = jnp.where(is_target & src_filled,
+                              jnp.ones_like(new_alpha), new_alpha)
+    else:
+        new_alpha = jnp.where(is_target, jnp.ones_like(new_alpha), new_alpha)
+    return out, new_alpha, (moving, src_i, src_j)
+
+
+# --------------------------------------------------------------------------
+# Reference layer: reset modes + rgba regather
+# --------------------------------------------------------------------------
+
+def _reset(params: LayerParams, state: dict, key) -> dict:
+    """Parity: transflow/compositor/layers/reference.py:58-91."""
+    cfg = params.cfg
+    mode = cfg.reset_mode
+    if mode == "off":
+        return state
+    h, w = params.height, params.width
+    ii, jj = _base_coords(h, w)
+    pos_i, pos_j = state["pos_i"], state["pos_j"]
+    if mode == "random":
+        rand = jax.random.uniform(key, (h, w))
+        reset = rand < cfg.reset_random_factor * params.reset_mask
+        state = dict(state)
+        state["pos_i"] = jnp.where(reset, ii, pos_i)
+        state["pos_j"] = jnp.where(reset, jj, pos_j)
+        state["alpha"] = jnp.where(reset, jnp.ones_like(state["alpha"]),
+                                   state["alpha"])
+        if cfg.reset_source:
+            source = state["source"]
+            for s, mask in enumerate(params.intro_masks):
+                source = jnp.where(reset & mask, jnp.int32(s), source)
+            state["source"] = source
+        return state
+    d_i = (ii - pos_i).astype(jnp.float32)
+    d_j = (jj - pos_j).astype(jnp.float32)
+    if mode == "constant":
+        norm_base = jnp.maximum(jnp.abs(d_i), jnp.abs(d_j))
+        safe = jnp.where(norm_base > 0, norm_base, 1.0)
+        step_i = jnp.where(norm_base > 0, d_i / safe, d_i)
+        step_j = jnp.where(norm_base > 0, d_j / safe, d_j)
+        factor = cfg.reset_constant_step * params.reset_mask
+        step_i = step_i * factor
+        step_j = step_j * factor
+        norm_scaled = jnp.maximum(jnp.abs(step_i), jnp.abs(step_j))
+        overshoot = norm_scaled > norm_base
+        step_i = jnp.where(overshoot, d_i, step_i)
+        step_j = jnp.where(overshoot, d_j, step_j)
+    elif mode == "linear":
+        step_i = params.reset_mask * cfg.reset_linear_factor * d_i
+        step_j = params.reset_mask * cfg.reset_linear_factor * d_j
+    else:
+        raise ValueError(f"Unknown reset mode {mode}")
+    state = dict(state)
+    state["pos_i"] = pos_i + jnp.round(step_i).astype(jnp.int32)
+    state["pos_j"] = pos_j + jnp.round(step_j).astype(jnp.int32)
+    return state
+
+
+def _reference_rgba(params: LayerParams, state: dict, pixmaps) -> dict:
+    """Regather rgba from the coordinate mapping.
+
+    Parity: transflow/compositor/layers/reference.py:93-105, including the
+    reference's per-source sequential alpha handling for 3-channel pixmaps.
+    """
+    h, w = params.height, params.width
+    rgba = state["rgba"]
+    rgb = rgba[..., :3]
+    a = rgba[..., 3]
+    mi = jnp.clip(state["pos_i"], 0, h - 1)
+    mj = jnp.clip(state["pos_j"], 0, w - 1)
+    for s in range(params.num_sources):
+        pixmap = pixmaps[s]
+        channels = params.channel_counts[s]
+        sel = (state["source"] == s) & (state["alpha"] != 0)
+        gathered = pixmap[mi, mj]
+        rgb = jnp.where(sel[..., None], gathered[..., :3], rgb)
+        if channels == 4:
+            a = jnp.where(sel, gathered[..., 3], a)
+        else:
+            a = jnp.where(sel, jnp.uint8(1), jnp.uint8(0))
+    state = dict(state)
+    state["rgba"] = jnp.concatenate([rgb, a[..., None]], axis=-1)
+    return state
+
+
+# --------------------------------------------------------------------------
+# Per-class updates
+# --------------------------------------------------------------------------
+
+def update_moveref(params: LayerParams, state: dict, flow, pixmaps,
+                   key) -> dict:
+    """MoveReferenceLayer.update (move_reference.py:12-14)."""
+    channels = {"pos_i": state["pos_i"], "pos_j": state["pos_j"],
+                "source": state["source"]}
+    channels, alpha, _ = _movement(params, channels, state["alpha"], flow)
+    state = dict(state, **channels, alpha=alpha)
+    state = _reset(params, state, key)
+    return _reference_rgba(params, state, pixmaps)
+
+
+def update_sum(params: LayerParams, state: dict, flow, pixmaps, key) -> dict:
+    """SumLayer.update: additive displacement, then reset + regather.
+
+    Parity: sum.py:9-14 with the component transposition fixed (dy -> i)."""
+    state = dict(state)
+    state["pos_i"] = state["pos_i"] + jnp.floor(flow[..., 1]).astype(jnp.int32)
+    state["pos_j"] = state["pos_j"] + jnp.floor(flow[..., 0]).astype(jnp.int32)
+    state = _reset(params, state, key)
+    return _reference_rgba(params, state, pixmaps)
+
+
+def update_static(params: LayerParams, state: dict, flow, pixmaps,
+                  key) -> dict:
+    """StaticLayer.update (static.py:14-17): masked blit, flow ignored."""
+    rgba = state["rgba"]
+    rgb = rgba[..., :3]
+    a = rgba[..., 3]
+    for s in range(params.num_sources):
+        mask = params.intro_masks[s]
+        pixmap = pixmaps[s]
+        rgb = jnp.where(mask[..., None], pixmap[..., :3], rgb)
+        if params.channel_counts[s] == 4:
+            a = jnp.where(mask, pixmap[..., 3], a)
+    return {"rgba": jnp.concatenate([rgb, a[..., None]], axis=-1)}
+
+
+def update_introduction(params: LayerParams, state: dict, flow, pixmaps,
+                        key, frame_numbers) -> dict:
+    """IntroductionLayer.update (introduction.py:16-67): move pixels carrying
+    their RGB, then introduce new pixels from each source."""
+    cfg = params.cfg
+    channels = {"rgb": state["rgb"], "source": state["source"],
+                "pos_i": state["pos_i"], "pos_j": state["pos_j"],
+                "frame": state["frame"]}
+    channels, alpha, (moving, src_i, src_j) = _movement(
+        params, channels, state["alpha"], flow)
+    state = dict(state, **channels, alpha=alpha)
+
+    # Introduction eligibility (intended semantics; see module docstring).
+    h, w = params.height, params.width
+    filled = state["alpha"] != 0
+    mask = jnp.ones((h, w), dtype=jnp.bool_)
+    if not cfg.introduce_pixels_on_empty_spots:
+        mask = mask & filled
+    if not cfg.introduce_pixels_on_filled_spots:
+        mask = mask & ~filled
+    if not cfg.introduce_moving_pixels:
+        mask = mask & ~moving
+    if not cfg.introduce_unmoving_pixels:
+        mask = mask & moving
+    consider_flow = not (cfg.introduce_on_all_filled_spots
+                         or cfg.introduce_on_all_empty_spots)
+    if cfg.introduce_on_all_filled_spots:
+        mask = mask | filled
+    if cfg.introduce_on_all_empty_spots:
+        mask = mask | ~filled
+    if cfg.introduce_once:
+        mask = mask & ~state["introduced_once"]
+
+    ii, jj = _base_coords(h, w)
+    gi = src_i if consider_flow else ii
+    gj = src_j if consider_flow else jj
+    for s in range(params.num_sources):
+        tgt = mask & params.intro_masks[s]
+        pixmap = pixmaps[s]
+        gathered = pixmap[gi, gj]
+        new_rgb = gathered[..., :3]
+        if params.channel_counts[s] == 4:
+            new_a = gathered[..., 3].astype(jnp.int32)
+        else:
+            new_a = jnp.ones((h, w), dtype=jnp.int32)
+        state["rgb"] = jnp.where(tgt[..., None], new_rgb, state["rgb"])
+        state["alpha"] = jnp.where(tgt, new_a, state["alpha"])
+        state["source"] = jnp.where(tgt, jnp.int32(s), state["source"])
+        state["pos_i"] = jnp.where(tgt, gi, state["pos_i"])
+        state["pos_j"] = jnp.where(tgt, gj, state["pos_j"])
+        state["frame"] = jnp.where(
+            tgt, jnp.asarray(frame_numbers[s], dtype=jnp.int32),
+            state["frame"])
+    state["introduced_once"] = jnp.ones((), dtype=jnp.bool_)
+    return state
+
+
+# --------------------------------------------------------------------------
+# Rendering
+# --------------------------------------------------------------------------
+
+def render_layer(params: LayerParams, state: dict):
+    """Layer.render (layer.py:32-34): alpha *= mask_alpha (persists in state).
+
+    Returns (new_state, rgba uint8)."""
+    if params.cfg.classname == "introduction":
+        alpha = (params.mask_alpha
+                 * state["alpha"].astype(jnp.float32)).astype(jnp.int32)
+        state = dict(state, alpha=alpha)
+        rgba = jnp.concatenate(
+            [state["rgb"],
+             jnp.clip(alpha, 0, 255).astype(jnp.uint8)[..., None]], axis=-1)
+        return state, rgba
+    rgba = state["rgba"]
+    alpha = (params.mask_alpha
+             * rgba[..., 3].astype(jnp.float32)).astype(jnp.uint8)
+    rgba = jnp.concatenate([rgba[..., :3], alpha[..., None]], axis=-1)
+    state = dict(state, rgba=rgba)
+    return state, rgba
+
+
+_UPDATE_FNS = {
+    "moveref": update_moveref,
+    "sum": update_sum,
+    "static": update_static,
+}
+
+
+# --------------------------------------------------------------------------
+# Whole-compositor step builder
+# --------------------------------------------------------------------------
+
+def build_compositor(layer_params: Sequence[LayerParams], height: int,
+                     width: int, background_color: str = "#ffffff"):
+    """Build the pure compositor functions.
+
+    Returns (init_fn, step_fn) where
+      init_fn() -> state (list of layer state dicts)
+      step_fn(state, flow, pixmaps, key, frame_numbers, render=True)
+          -> (state, rgb | None)
+    ``pixmaps`` is a tuple (one per layer) of tuples (one per source) of
+    (H, W, C) uint8 arrays; ``frame_numbers`` mirrors that structure with
+    int32 scalars. step_fn is pure and jit/scan-compatible.
+
+    Parity: transflow/compositor/compositor.py:17-53.
+    """
+    bg = jnp.broadcast_to(
+        jnp.asarray(parse_color(background_color), dtype=jnp.uint8),
+        (height, width, 3))
+
+    def init_fn():
+        return [init_layer_state(p) for p in layer_params]
+
+    def update_fn(state, flow, pixmaps, key, frame_numbers):
+        if not layer_params:
+            return []
+        keys = jax.random.split(key, len(layer_params))
+        new_state = []
+        for idx, params in enumerate(layer_params):
+            classname = params.cfg.classname
+            if classname == "introduction":
+                st = update_introduction(
+                    params, state[idx], flow, pixmaps[idx], keys[idx],
+                    frame_numbers[idx])
+            else:
+                st = _UPDATE_FNS[classname](
+                    params, state[idx], flow, pixmaps[idx], keys[idx])
+            new_state.append(st)
+        return new_state
+
+    def render_fn(state):
+        image = bg
+        new_state = []
+        for idx, params in enumerate(layer_params):
+            st, rgba = render_layer(params, state[idx])
+            new_state.append(st)
+            image = jnp.where((rgba[..., 3] != 0)[..., None],
+                              rgba[..., :3], image)
+        return new_state, image
+
+    def step_fn(state, flow, pixmaps, key, frame_numbers, render=True):
+        state = update_fn(state, flow, pixmaps, key, frame_numbers)
+        if not render:
+            return state, None
+        return render_fn(state)
+
+    step_fn.init = init_fn
+    step_fn.update = update_fn
+    step_fn.render = render_fn
+    return init_fn, step_fn
+
+
+def make_layer_params(layer_cfgs: Sequence[LayerConfig], height: int,
+                      width: int, sources_by_layer: dict,
+                      ) -> list[LayerParams]:
+    """Assemble LayerParams for each config.
+
+    ``sources_by_layer`` maps layer index (cfg.index) to a list of
+    (channel_count, introduction_mask ndarray | None) tuples."""
+    out = []
+    for cfg in layer_cfgs:
+        specs = sources_by_layer.get(cfg.index, [])
+        intro_masks = []
+        channel_counts = []
+        for channels, mask in specs:
+            if mask is None:
+                mask = np.ones((height, width), dtype=bool)
+            intro_masks.append(mask)
+            channel_counts.append(channels)
+        out.append(LayerParams(cfg, height, width, intro_masks,
+                               channel_counts))
+    return out

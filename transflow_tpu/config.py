@@ -1,0 +1,344 @@
+"""Typed configuration tree with dict round-trip.
+
+Parity reference: transflow/config.py (PixmapSourceConfig :11-46, LayerConfig
+:57-157, Config :160-341). All four front-ends (CLI flags, JSON config files,
+GUI JSON, Python API) converge on this object, exactly like the reference.
+"""
+import os
+import random
+import re
+import sys
+import time
+
+from .flow import Direction, LockMode
+from .utils import parse_size, parse_timestamp
+
+_MJPEG_RE = re.compile(r"^mjpeg(:[:a-z0-9A-Z\-]+)?$", re.IGNORECASE)
+_SUFFIX_RE = re.compile(r".*\.(\d{3})$")
+
+
+def parse_bool_arg(arg, default: bool) -> bool:
+    if arg is None:
+        return default
+    if isinstance(arg, str):
+        return arg.lower().strip() in ("1", "on", "o", "oui", "yes", "y", "true")
+    return bool(arg)
+
+
+class PixmapSourceConfig:
+    """One pixmap source bound to one or more layers."""
+
+    def __init__(self,
+                 path: str,
+                 seek_time: float | str | None = None,
+                 alteration_path: str | None = None,
+                 introduction_path: str | None = None,
+                 repeat: int | None = 1,
+                 layers: list[int] | None = None):
+        self.path = path
+        self.seek_time = parse_timestamp(seek_time)
+        self.alteration_path = alteration_path
+        self.introduction_path = introduction_path
+        self.repeat = 1 if repeat is None else repeat
+        self.layers = [0] if layers is None else layers
+
+    @classmethod
+    def fromdict(cls, d: dict) -> "PixmapSourceConfig":
+        return cls(
+            d["path"],
+            seek_time=d.get("seek_time"),
+            alteration_path=d.get("alteration_path"),
+            introduction_path=d.get("introduction_path"),
+            repeat=d.get("repeat", 1),
+            layers=d.get("layers"),
+        )
+
+    def todict(self) -> dict:
+        return {
+            "path": self.path,
+            "seek_time": self.seek_time,
+            "alteration_path": self.alteration_path,
+            "introduction_path": self.introduction_path,
+            "repeat": self.repeat,
+            "layers": self.layers,
+        }
+
+
+class LayerConfig:
+    """One compositor layer: class, movement flags, reset and introduction rules."""
+
+    CLASSNAMES = ("moveref", "introduction", "static", "sum")
+
+    def __init__(self,
+                 index: int,
+                 classname: str | None = None,
+                 mask_alpha: str | None = None,
+                 mask_src: str | None = None,
+                 mask_dst: str | None = None,
+                 transparent_pixels_can_move=None,
+                 pixels_can_move_to_empty_spot=None,
+                 pixels_can_move_to_filled_spot=None,
+                 moving_pixels_leave_empty_spot=None,
+                 reset_mode: str | None = None,
+                 reset_mask: str | None = None,
+                 reset_random_factor: float | None = None,
+                 reset_constant_step: float | None = None,
+                 reset_linear_factor: float | None = None,
+                 reset_source=None,
+                 introduce_pixels_on_empty_spots=None,
+                 introduce_pixels_on_filled_spots=None,
+                 introduce_moving_pixels=None,
+                 introduce_unmoving_pixels=None,
+                 introduce_once=None,
+                 introduce_on_all_filled_spots=None,
+                 introduce_on_all_empty_spots=None):
+        self.index = index
+        self.classname = "moveref" if classname is None else classname
+        self.mask_alpha = mask_alpha
+        self.mask_src = mask_src
+        self.mask_dst = mask_dst
+        self.transparent_pixels_can_move = parse_bool_arg(transparent_pixels_can_move, False)
+        self.pixels_can_move_to_empty_spot = parse_bool_arg(pixels_can_move_to_empty_spot, True)
+        self.pixels_can_move_to_filled_spot = parse_bool_arg(pixels_can_move_to_filled_spot, True)
+        self.moving_pixels_leave_empty_spot = parse_bool_arg(moving_pixels_leave_empty_spot, False)
+        self.reset_mode = "off" if reset_mode is None else reset_mode
+        self.reset_mask = reset_mask
+        self.reset_random_factor = 1 if reset_random_factor is None else reset_random_factor
+        self.reset_constant_step = 1 if reset_constant_step is None else reset_constant_step
+        self.reset_linear_factor = 0.1 if reset_linear_factor is None else reset_linear_factor
+        self.reset_source = parse_bool_arg(reset_source, False)
+        self.introduce_pixels_on_empty_spots = parse_bool_arg(introduce_pixels_on_empty_spots, True)
+        self.introduce_pixels_on_filled_spots = parse_bool_arg(introduce_pixels_on_filled_spots, True)
+        self.introduce_moving_pixels = parse_bool_arg(introduce_moving_pixels, True)
+        self.introduce_unmoving_pixels = parse_bool_arg(introduce_unmoving_pixels, True)
+        self.introduce_once = parse_bool_arg(introduce_once, False)
+        self.introduce_on_all_filled_spots = parse_bool_arg(introduce_on_all_filled_spots, False)
+        self.introduce_on_all_empty_spots = parse_bool_arg(introduce_on_all_empty_spots, False)
+
+    @classmethod
+    def fromdict(cls, d: dict) -> "LayerConfig":
+        kwargs = {k: d.get(k) for k in (
+            "classname", "mask_alpha", "mask_src", "mask_dst",
+            "transparent_pixels_can_move", "pixels_can_move_to_empty_spot",
+            "pixels_can_move_to_filled_spot", "moving_pixels_leave_empty_spot",
+            "reset_mode", "reset_mask", "reset_random_factor",
+            "reset_constant_step", "reset_linear_factor", "reset_source",
+            "introduce_pixels_on_empty_spots", "introduce_pixels_on_filled_spots",
+            "introduce_moving_pixels", "introduce_unmoving_pixels",
+            "introduce_once", "introduce_on_all_filled_spots",
+            "introduce_on_all_empty_spots")}
+        return cls(d["index"], **kwargs)
+
+    def todict(self) -> dict:
+        return {
+            "index": self.index,
+            "classname": self.classname,
+            "mask_src": self.mask_src,
+            "mask_dst": self.mask_dst,
+            "mask_alpha": self.mask_alpha,
+            "transparent_pixels_can_move": self.transparent_pixels_can_move,
+            "pixels_can_move_to_empty_spot": self.pixels_can_move_to_empty_spot,
+            "pixels_can_move_to_filled_spot": self.pixels_can_move_to_filled_spot,
+            "moving_pixels_leave_empty_spot": self.moving_pixels_leave_empty_spot,
+            "reset_mode": self.reset_mode,
+            "reset_mask": self.reset_mask,
+            "reset_random_factor": self.reset_random_factor,
+            "reset_constant_step": self.reset_constant_step,
+            "reset_linear_factor": self.reset_linear_factor,
+            "reset_source": self.reset_source,
+            "introduce_pixels_on_empty_spots": self.introduce_pixels_on_empty_spots,
+            "introduce_pixels_on_filled_spots": self.introduce_pixels_on_filled_spots,
+            "introduce_moving_pixels": self.introduce_moving_pixels,
+            "introduce_unmoving_pixels": self.introduce_unmoving_pixels,
+            "introduce_once": self.introduce_once,
+            "introduce_on_all_filled_spots": self.introduce_on_all_filled_spots,
+            "introduce_on_all_empty_spots": self.introduce_on_all_empty_spots,
+        }
+
+
+class Config:
+    """Top-level render configuration (flow + pixmaps + layers + outputs)."""
+
+    def __init__(self,
+                 flow_path: str,
+                 extra_flow_paths: list[str] | None = None,
+                 flows_merging_function: str = "first",
+                 use_mvs: bool = False,
+                 mask_path: str | None = None,
+                 kernel_path: str | None = None,
+                 cv_config: str | None = None,
+                 flow_filters: str | None = None,
+                 direction="forward",
+                 seek_time=None,
+                 duration_time=None,
+                 to_time=None,
+                 repeat: int = 1,
+                 lock_expr: str | None = None,
+                 lock_mode=None,
+                 pixmap_sources: list[PixmapSourceConfig] | None = None,
+                 layers: list[LayerConfig] | None = None,
+                 compositor_background: str | None = None,
+                 output_path=None,
+                 vcodec: str = "h264",
+                 size=None,
+                 view_flow: bool = False,
+                 view_flow_magnitude: bool = False,
+                 render_scale: float = 1,
+                 render_colors=None,
+                 render_binary: bool = False,
+                 seed: int | None = None,
+                 batch_frames: int | None = None):
+        # Flow args
+        self.flow_path = flow_path
+        self.extra_flow_paths = [] if extra_flow_paths is None else extra_flow_paths
+        self.flows_merging_function = flows_merging_function
+        if not self.extra_flow_paths:
+            self.flows_merging_function = "first"
+        self.use_mvs = use_mvs
+        self.mask_path = mask_path
+        self.kernel_path = kernel_path
+        self.cv_config = cv_config
+        self.flow_filters = flow_filters
+        self.direction = Direction.from_arg(direction)
+        parsed_seek = parse_timestamp(seek_time)
+        self.seek_time: float = 0 if parsed_seek is None else parsed_seek
+        parsed_duration = parse_timestamp(duration_time)
+        parsed_to = parse_timestamp(to_time)
+        if parsed_to is not None:
+            self.duration_time = parsed_to - self.seek_time
+        else:
+            self.duration_time = parsed_duration
+        if self.duration_time is not None and self.duration_time < 0:
+            raise ValueError(f"Duration must be positive (got {self.duration_time})")
+        self.repeat = repeat
+        self.lock_expr = lock_expr
+        self.lock_mode = LockMode.from_arg(lock_mode)
+
+        # Pixmap args
+        self.pixmap_sources = [] if pixmap_sources is None else pixmap_sources
+
+        # Compositor args
+        self.layers = [] if layers is None else layers
+        layer_indices = set()
+        for layer in self.layers:
+            if layer.index in layer_indices:
+                raise ValueError(f"Duplicate layer index {layer.index}")
+            layer_indices.add(layer.index)
+        for pixmap_config in self.pixmap_sources:
+            for layer_index in pixmap_config.layers:
+                if layer_index not in layer_indices:
+                    self.layers.append(LayerConfig(layer_index))
+                    layer_indices.add(layer_index)
+        self.compositor_background = (
+            "#FFFFFF" if compositor_background is None else compositor_background)
+
+        # Output args
+        self.output_path = (
+            None if (isinstance(output_path, list) and not output_path)
+            else output_path)
+        self.vcodec = vcodec
+        self.size = parse_size(size)
+        self.view_flow = view_flow
+        self.view_flow_magnitude = view_flow_magnitude
+        self.render_scale = render_scale
+        if isinstance(render_colors, str):
+            render_colors = tuple(render_colors.split(","))
+        elif isinstance(render_colors, list):
+            render_colors = tuple(render_colors)
+        self.render_colors = render_colors
+        self.render_binary = render_binary
+
+        # General args
+        self.seed: int = random.randint(0, 2 ** 32 - 1) if seed is None else seed
+        # TPU-specific: frames per device dispatch (lax.scan chunk). None = auto.
+        self.batch_frames = batch_frames
+
+    @classmethod
+    def fromdict(cls, d: dict) -> "Config":
+        return cls(
+            d["flow_path"],
+            extra_flow_paths=d.get("extra_flow_paths"),
+            flows_merging_function=d.get("flows_merging_function", "first"),
+            use_mvs=d.get("use_mvs", False),
+            mask_path=d.get("mask_path"),
+            kernel_path=d.get("kernel_path"),
+            cv_config=d.get("cv_config"),
+            flow_filters=d.get("flow_filters"),
+            direction=d.get("direction", "forward"),
+            seek_time=d.get("seek_time"),
+            duration_time=d.get("duration_time"),
+            to_time=d.get("to_time"),
+            repeat=d.get("repeat", 1),
+            lock_expr=d.get("lock_expr"),
+            lock_mode=d.get("lock_mode", LockMode.STAY),
+            pixmap_sources=[PixmapSourceConfig.fromdict(x)
+                            for x in d.get("pixmap_sources", [])],
+            layers=[LayerConfig.fromdict(x) for x in d.get("layers", [])],
+            compositor_background=d.get("compositor_background", "#ffffff"),
+            output_path=d.get("output_path"),
+            vcodec=d.get("vcodec", "h264"),
+            size=d.get("size"),
+            view_flow=d.get("view_flow", False),
+            view_flow_magnitude=d.get("view_flow_magnitude", False),
+            render_scale=d.get("render_scale", 1),
+            render_colors=d.get("render_colors"),
+            render_binary=d.get("render_binary", False),
+            seed=d.get("seed"),
+            batch_frames=d.get("batch_frames"),
+        )
+
+    def todict(self) -> dict:
+        return {
+            "flow_path": self.flow_path,
+            "extra_flow_paths": self.extra_flow_paths,
+            "flows_merging_function": self.flows_merging_function,
+            "use_mvs": self.use_mvs,
+            "mask_path": self.mask_path,
+            "kernel_path": self.kernel_path,
+            "cv_config": self.cv_config,
+            "flow_filters": self.flow_filters,
+            "direction": self.direction.value,
+            "seek_time": self.seek_time,
+            "duration_time": self.duration_time,
+            "repeat": self.repeat,
+            "lock_expr": self.lock_expr,
+            "lock_mode": self.lock_mode.value,
+            "pixmap_sources": [x.todict() for x in self.pixmap_sources],
+            "layers": [x.todict() for x in self.layers],
+            "compositor_background": self.compositor_background,
+            "output_path": self.output_path,
+            "vcodec": self.vcodec,
+            "size": self.size,
+            "view_flow": self.view_flow,
+            "view_flow_magnitude": self.view_flow_magnitude,
+            "render_scale": self.render_scale,
+            "render_colors": self.render_colors,
+            "render_binary": self.render_binary,
+            "seed": self.seed,
+            "batch_frames": self.batch_frames,
+            "timestamp": time.time(),
+            "command": {"executable": sys.executable, "argv": sys.argv},
+        }
+
+    def get_secondary_output_path(self, suffix: str) -> str:
+        """Derive .flow.zip/.ckpt.zip/.config.json sibling paths.
+
+        Parity reference: transflow/config.py:325-341 (skips mjpeg outputs,
+        strips .NNN uniqueness suffixes).
+        """
+        base_output_path = None
+        if isinstance(self.output_path, list):
+            for path in self.output_path:
+                if _MJPEG_RE.match(path):
+                    continue
+                base_output_path = path
+                break
+        else:
+            base_output_path = self.output_path
+        path = os.path.splitext(
+            self.flow_path if base_output_path is None else base_output_path)[0]
+        if path.endswith(".flow") or path.endswith(".ckpt"):
+            path = path[:-5]
+        if _SUFFIX_RE.match(path):
+            path = path[:-4]
+        return path + suffix

@@ -1,0 +1,162 @@
+"""Device-side image primitives: grayscale, 2-D convolution, resize, upscale.
+
+These replace the reference's host-side cv2/scipy calls
+(transflow/flow/sources/cv.py:465-466 grayscale, source.py:344-348 kernel
+convolution, utils.py:417-418 kron upscale) with XLA ops that fuse into the
+per-frame step.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def rgb_to_gray(rgb) -> jax.Array:
+    """BT.601 luma, matching cv2.cvtColor(..., COLOR_RGB2GRAY) rounding."""
+    rgb = rgb.astype(jnp.float32)
+    gray = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    return jnp.round(gray).astype(jnp.uint8)
+
+
+def conv2d_same(image, kernel, fill_value: float = 0.0) -> jax.Array:
+    """'same' 2-D correlation-style convolution with constant fill.
+
+    Matches scipy.signal.convolve2d(image, kernel, mode="same",
+    boundary="fill") — i.e. a true convolution (kernel flipped).
+    """
+    image = image.astype(jnp.float32)
+    kernel = jnp.asarray(kernel, dtype=jnp.float32)
+    flipped = kernel[::-1, ::-1]
+    kh, kw = flipped.shape
+    # scipy centers the kernel with the extra tap on the low side for even sizes
+    pad_top, pad_left = (kh - 1) // 2, (kw - 1) // 2
+    pad_bottom, pad_right = kh - 1 - pad_top, kw - 1 - pad_left
+    lhs = image[None, None, :, :]
+    if fill_value != 0.0:
+        lhs = jnp.pad(lhs, ((0, 0), (0, 0), (pad_top, pad_bottom),
+                            (pad_left, pad_right)), constant_values=fill_value)
+        padding = "VALID"
+    else:
+        padding = ((pad_top, pad_bottom), (pad_left, pad_right))
+    rhs = flipped[None, None, :, :]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1, 1), padding=padding,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32)
+    return out[0, 0]
+
+
+def correlate2d_reflect(image, kernel) -> jax.Array:
+    """'same' 2-D cross-correlation with reflect ('symmetric') padding.
+
+    Matches scipy.ndimage.convolve(image, kernel, mode="reflect") — note that
+    scipy.ndimage.convolve flips the kernel, so pass the kernel as the caller
+    holds it and we flip here to agree.
+    """
+    image = image.astype(jnp.float32)
+    kernel = jnp.asarray(kernel, dtype=jnp.float32)[::-1, ::-1]
+    kh, kw = kernel.shape
+    # ndimage centers with origin 0: extra tap on the high side for even sizes
+    pad_top, pad_left = kh // 2, kw // 2
+    pad_bottom, pad_right = kh - 1 - pad_top, kw - 1 - pad_left
+    padded = jnp.pad(image, ((pad_top, pad_bottom), (pad_left, pad_right)),
+                     mode="symmetric")
+    out = jax.lax.conv_general_dilated(
+        padded[None, None], kernel[None, None], window_strides=(1, 1),
+        padding="VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32)
+    return out[0, 0]
+
+
+def separable_correlate(image, kernel_1d, axis: int,
+                        mode: str = "symmetric") -> jax.Array:
+    """1-D cross-correlation along ``axis`` of a 2-D image with edge padding."""
+    image = image.astype(jnp.float32)
+    k = jnp.asarray(kernel_1d, dtype=jnp.float32)
+    n = k.shape[0]
+    pad_lo = (n - 1) // 2
+    pad_hi = n - 1 - pad_lo
+    pads = [(0, 0), (0, 0)]
+    pads[axis] = (pad_lo, pad_hi)
+    padded = jnp.pad(image, pads, mode=mode)
+    rhs = k.reshape((n, 1) if axis == 0 else (1, n))
+    out = jax.lax.conv_general_dilated(
+        padded[None, None], rhs[None, None], window_strides=(1, 1),
+        padding="VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32)
+    return out[0, 0]
+
+
+def box_filter(image, size: int) -> jax.Array:
+    """Separable (size x size) box sum with zero padding (not normalized)."""
+    ones = jnp.ones((size,), dtype=jnp.float32)
+    tmp = separable_correlate(image, ones, axis=0, mode="constant")
+    return separable_correlate(tmp, ones, axis=1, mode="constant")
+
+
+def gaussian_kernel_1d(sigma: float, radius: int) -> jnp.ndarray:
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(image, sigma: float, radius: int | None = None) -> jax.Array:
+    """Separable Gaussian blur with reflect padding (cv2.GaussianBlur-like)."""
+    if radius is None:
+        radius = int(3.0 * sigma + 0.5)
+    k = gaussian_kernel_1d(sigma, radius)
+    tmp = separable_correlate(image, k, axis=0)
+    return separable_correlate(tmp, k, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def upscale_flow(flow, width_factor: int, height_factor: int) -> jax.Array:
+    """Integer-factor kron upscale that also scales vector magnitudes.
+
+    Parity reference: transflow/utils.py:417-418 (upscale_array).
+    """
+    scaled = flow * jnp.asarray([width_factor, height_factor], dtype=flow.dtype)
+    out = jnp.repeat(scaled, height_factor, axis=0)
+    return jnp.repeat(out, width_factor, axis=1)
+
+
+def bilinear_resize(image, new_h: int, new_w: int) -> jax.Array:
+    """Bilinear resize of a (H, W) or (H, W, C) float image (align_corners=False)."""
+    squeeze = image.ndim == 2
+    if squeeze:
+        image = image[..., None]
+    h, w = image.shape[:2]
+    out = jax.image.resize(image.astype(jnp.float32), (new_h, new_w, image.shape[2]),
+                           method="bilinear")
+    # preserve flow magnitudes relative to new resolution is the caller's job
+    return out[..., 0] if squeeze else out
+
+
+def downsample2x(image) -> jax.Array:
+    """5-tap Gaussian blur then 2x decimation (classic pyramid reduce)."""
+    k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], dtype=jnp.float32) / 16.0
+    blurred = separable_correlate(separable_correlate(image, k, 0), k, 1)
+    return blurred[::2, ::2]
+
+
+def bilinear_sample(image, yy, xx) -> jax.Array:
+    """Sample image (H, W[, C]) at float coordinates (yy, xx) with edge clamp."""
+    h, w = image.shape[:2]
+    y0 = jnp.floor(yy)
+    x0 = jnp.floor(xx)
+    wy = yy - y0
+    wx = xx - x0
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    if image.ndim == 3:
+        wy = wy[..., None]
+        wx = wx[..., None]
+    v00 = image[y0, x0]
+    v01 = image[y0, x1]
+    v10 = image[y1, x0]
+    v11 = image[y1, x1]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
