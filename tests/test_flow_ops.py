@@ -1,0 +1,224 @@
+"""Flow estimators, transforms, filters and merges vs numpy/scipy oracles."""
+import numpy as np
+import jax.numpy as jnp
+
+from transflow_tpu.flow import Direction
+from transflow_tpu.flow.estimators import farneback, horn_schunck, lucas_kanade
+from transflow_tpu.flow.filters import FlowFilter
+from transflow_tpu.flow.merge import MERGE_FUNCTIONS
+from transflow_tpu.flow.transforms import (clip_to_frame, forward_to_backward,
+                                           make_postprocess)
+
+
+def shifted_pair(h=96, w=128, dx=3, dy=2, seed=0):
+    """Two frames where frame2 content moved by (+dx, +dy)."""
+    rng = np.random.default_rng(seed)
+    big = rng.integers(0, 256, (h + 32, w + 32), dtype=np.uint8)
+    # smooth it so gradients are informative
+    import scipy.ndimage
+    big = scipy.ndimage.gaussian_filter(big.astype(np.float32), 3.0)
+    big = (255 * (big - big.min()) / (np.ptp(big) + 1e-9)).astype(np.uint8)
+    a = big[16:16 + h, 16:16 + w]
+    b = big[16 - dy:16 - dy + h, 16 - dx:16 - dx + w]
+    return a, b
+
+
+class TestEstimators:
+
+    def test_horn_schunck_vs_oracle(self):
+        import scipy.ndimage
+        a8, b8 = shifted_pair(48, 64, dx=1, dy=1)
+        # oracle: reference formula (transflow/flow/methods/horn_schunck.py)
+        import cv2
+        a = cv2.GaussianBlur(a8.astype(np.float32), (5, 5), 0)
+        b = cv2.GaussianBlur(b8.astype(np.float32), (5, 5), 0)
+        u = np.zeros(a.shape)
+        v = np.zeros(a.shape)
+        xk = np.array([[1, -1], [1, -1]]) * 0.25
+        yk = np.array([[1, 1], [-1, -1]]) * 0.25
+        tk = np.ones((2, 2)) * 0.25
+        avg = np.array([[1, 2, 1], [2, 0, 2], [1, 2, 1]]) / 12
+        ex = scipy.ndimage.convolve(a, xk) + scipy.ndimage.convolve(b, xk)
+        ey = scipy.ndimage.convolve(a, yk) + scipy.ndimage.convolve(b, yk)
+        et = scipy.ndimage.convolve(b, tk) - scipy.ndimage.convolve(a, tk)
+        alpha, iters, delta = 1.0, 3, 1.0
+        for _ in range(iters):
+            u_avg = scipy.ndimage.convolve(u, avg)
+            v_avg = scipy.ndimage.convolve(v, avg)
+            c = (ex * u_avg + ey * v_avg + et) / (alpha ** 2 + ex ** 2 + ey ** 2)
+            prev = u
+            u = u_avg - ex * c
+            v = v_avg - ey * c
+            if np.linalg.norm(u - prev, 2) < delta:
+                break
+        expected = np.stack([u, v], axis=-1).astype(np.float32)
+        got = np.asarray(horn_schunck(jnp.asarray(a8), jnp.asarray(b8),
+                                      alpha=1.0, max_iters=3, decay=0.0,
+                                      delta=1.0))
+        # interior must agree tightly (borders differ: cv2 reflect101 vs our
+        # symmetric padding in the pre-blur)
+        np.testing.assert_allclose(got[4:-4, 4:-4], expected[4:-4, 4:-4],
+                                   atol=0.05)
+
+    def test_lucas_kanade_translation(self):
+        a, b = shifted_pair(96, 128, dx=3, dy=2)
+        flow = np.asarray(lucas_kanade(jnp.asarray(a), jnp.asarray(b),
+                                       win_size=15, max_level=2))
+        interior = flow[20:-20, 20:-20]
+        assert abs(np.median(interior[..., 0]) - 3) < 0.5
+        assert abs(np.median(interior[..., 1]) - 2) < 0.5
+
+    def test_lucas_kanade_step(self):
+        a, b = shifted_pair(64, 64, dx=1, dy=0)
+        flow = np.asarray(lucas_kanade(jnp.asarray(a), jnp.asarray(b),
+                                       win_size=15, max_level=1, step=16))
+        assert flow.shape == (64, 64, 2)
+        # macroblock structure: constant within each 16x16 block
+        block = flow[0:16, 0:16]
+        assert np.all(block == block[0, 0])
+
+    def test_farneback_translation(self):
+        a, b = shifted_pair(96, 128, dx=3, dy=2)
+        flow = np.asarray(farneback(jnp.asarray(a), jnp.asarray(b)))
+        interior = flow[20:-20, 20:-20]
+        assert abs(np.median(interior[..., 0]) - 3) < 0.6
+        assert abs(np.median(interior[..., 1]) - 2) < 0.6
+
+    def test_farneback_matches_opencv(self):
+        import cv2
+        a, b = shifted_pair(96, 128, dx=2, dy=-1, seed=3)
+        ours = np.asarray(farneback(jnp.asarray(a), jnp.asarray(b)))
+        ref = cv2.calcOpticalFlowFarneback(
+            a, b, None, 0.5, 3, 15, 3, 5, 1.2, 0)
+        interior = np.s_[16:-16, 16:-16]
+        err = np.abs(ours[interior] - ref[interior])
+        # not bitwise (different pyramid/interp details) but close
+        assert np.median(err) < 0.25, f"median err {np.median(err)}"
+
+
+class TestTransforms:
+
+    def test_clip_to_frame(self):
+        h, w = 4, 5
+        flow = np.full((h, w, 2), 100, dtype=np.float32)
+        clipped = np.asarray(clip_to_frame(jnp.asarray(flow)))
+        jj = np.arange(w)[None, :]
+        ii = np.arange(h)[:, None]
+        assert np.all(clipped[..., 0] == (w - 1) - jj)
+        assert np.all(clipped[..., 1] == (h - 1) - ii)
+
+    def test_forward_to_backward_vs_numpy_put(self):
+        rng = np.random.default_rng(7)
+        h, w = 17, 23
+        jj = np.arange(w)[None, :] * np.ones((h, 1), int)
+        ii = np.arange(h)[:, None] * np.ones((1, w), int)
+        fx = np.clip(rng.integers(-4, 5, (h, w)), -jj, w - 1 - jj)
+        fy = np.clip(rng.integers(-4, 5, (h, w)), -ii, h - 1 - ii)
+        flow = np.stack([fx, fy], -1).astype(np.float32)
+        # oracle: numpy.put scatter of base coordinates (source.py:349-360)
+        flow_int = np.round(flow).astype(np.int32)
+        flow_flat = (flow_int[..., 1] * w + flow_int[..., 0]).ravel()
+        where = np.nonzero(flow_flat)
+        base_flat = np.arange(h * w)
+        ax = jj.copy()
+        ay = ii.copy()
+        np.put(ax, base_flat[where] + flow_flat[where], ax.flat[where],
+               mode="clip")
+        np.put(ay, base_flat[where] + flow_flat[where], ay.flat[where],
+               mode="clip")
+        expected = np.stack([ax - jj, ay - ii], -1).astype(np.float32)
+        got = np.asarray(forward_to_backward(jnp.asarray(flow)))
+        np.testing.assert_array_equal(got, expected)
+
+    def test_postprocess_chain(self):
+        h, w = 8, 8
+        flow = np.ones((h, w, 2), dtype=np.float32)
+        mask = np.zeros((h, w), dtype=np.float32)
+        mask[:4] = 1.0
+        pp = make_postprocess("scale=2", mask=mask,
+                              direction=Direction.BACKWARD)
+        out = np.asarray(pp(jnp.asarray(flow), 0.0))
+        assert np.all(out[:4, :6] == 2.0)  # scaled where mask on, in-bounds
+        assert np.all(out[4:] == 0.0)      # masked off
+
+    def test_postprocess_kernel(self):
+        import scipy.signal
+        rng = np.random.default_rng(0)
+        flow = rng.normal(size=(10, 12, 2)).astype(np.float32) * 0.25
+        kernel = np.ones((3, 3), dtype=np.float32) / 9
+        pp = make_postprocess(kernel=kernel, direction=Direction.BACKWARD)
+        got = np.asarray(pp(jnp.asarray(flow), 0.0))
+        ex = scipy.signal.convolve2d(flow[..., 0], kernel, mode="same",
+                                     boundary="fill")
+        interior = np.s_[1:-1, 1:-1]
+        np.testing.assert_allclose(got[..., 0][interior],
+                                   np.clip(ex, -100, 100)[interior],
+                                   atol=1e-3)
+
+
+class TestFilters:
+
+    def test_scale(self):
+        f = FlowFilter.from_args("scale", ("2 * t",))
+        flow = jnp.ones((2, 2, 2))
+        assert np.allclose(np.asarray(f(flow, 3.0)), 6.0)
+
+    def test_threshold(self):
+        f = FlowFilter.from_args("threshold", ("1.5",))
+        flow = jnp.asarray([[[1.0, 0.0], [3.0, 0.0]]])
+        out = np.asarray(f(flow, 0.0))
+        assert np.all(out[0, 0] == 0) and np.all(out[0, 1] == [3, 0])
+
+    def test_clip(self):
+        f = FlowFilter.from_args("clip", ("2",))
+        flow = jnp.asarray([[[4.0, 0.0], [1.0, 0.0]]])
+        out = np.asarray(f(flow, 0.0))
+        assert np.allclose(out[0, 0], [2, 0]) and np.allclose(out[0, 1], [1, 0])
+
+    def test_polar(self):
+        f = FlowFilter.from_args("polar", ("r * 2", "a"))
+        flow = jnp.asarray([[[1.0, 0.0]]])
+        out = np.asarray(f(flow, 0.0))
+        assert np.allclose(out[0, 0], [2, 0], atol=1e-6)
+
+    def test_parse_many(self):
+        filters = FlowFilter.parse_many("scale=2; threshold=0.5")
+        assert len(filters) == 2
+
+
+class TestMerge:
+
+    def setup_method(self):
+        rng = np.random.default_rng(0)
+        self.flows = [jnp.asarray(rng.normal(size=(4, 4, 2)).astype(np.float32))
+                      for _ in range(3)]
+
+    def test_all_functions_run(self):
+        for name, fn in MERGE_FUNCTIONS.items():
+            out = np.asarray(fn(self.flows))
+            assert out.shape == (4, 4, 2), name
+
+    def test_semantics(self):
+        f = [np.asarray(x) for x in self.flows]
+        assert np.allclose(np.asarray(MERGE_FUNCTIONS["first"](self.flows)), f[0])
+        assert np.allclose(np.asarray(MERGE_FUNCTIONS["sum"](self.flows)),
+                           f[0] + f[1] + f[2], atol=1e-6)
+        assert np.allclose(np.asarray(MERGE_FUNCTIONS["average"](self.flows)),
+                           (f[0] + f[1] + f[2]) / 3, atol=1e-6)
+        assert np.allclose(np.asarray(MERGE_FUNCTIONS["difference"](self.flows)),
+                           f[0] - (f[1] + f[2]), atol=1e-6)
+        assert np.allclose(np.asarray(MERGE_FUNCTIONS["product"](self.flows)),
+                           f[0] * f[1] * f[2], atol=1e-6)
+        stack = np.stack(f)
+        picked = np.take_along_axis(
+            stack, np.argmax(np.abs(stack), axis=0)[None], axis=0)[0]
+        assert np.allclose(np.asarray(MERGE_FUNCTIONS["absmax"](self.flows)),
+                           picked, atol=1e-6)
+
+    def test_maskbin(self):
+        base = jnp.ones((2, 2, 2))
+        gate = jnp.asarray(np.array([[[0.1, 0.5], [0.0, 0.3]],
+                                     [[0.0, 0.0], [1.0, 1.0]]], np.float32))
+        out = np.asarray(MERGE_FUNCTIONS["maskbin"]([base, gate]))
+        expected = (np.abs(np.asarray(gate)) > 0.2).astype(np.float32)
+        assert np.allclose(out, expected)

@@ -1,0 +1,171 @@
+"""Farneback dense optical flow (polynomial expansion) in JAX.
+
+Parity reference: the default estimator of transflow
+(transflow/flow/sources/cv.py:476-490 calls cv2.calcOpticalFlowFarneback with
+fb_* hyper-parameters). This is a from-scratch implementation of Farneback's
+algorithm ("Two-Frame Motion Estimation Based on Polynomial Expansion",
+SCIA 2003):
+
+1. per level, quadratic polynomial expansion f(x) ~ x'Ax + b'x + c fitted by
+   Gaussian-weighted least squares — six separable correlations plus a
+   constant 6x6 solve folded into a matmul (MXU work),
+2. displacement update A d = db with the classic averaging of the two
+   expansions and a winsize box (or Gaussian) aggregation of the normal
+   equations, solved in closed form per pixel,
+3. a coarse-to-fine pyramid with arbitrary pyr_scale.
+
+Everything is static-shaped XLA; the pyramid loop unrolls at trace time.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.image import (bilinear_sample, box_filter, gaussian_blur,
+                          separable_correlate)
+
+OPTFLOW_USE_INITIAL_FLOW = 4  # cv2 flag value
+OPTFLOW_FARNEBACK_GAUSSIAN = 256  # cv2 flag value
+
+
+@functools.lru_cache(maxsize=None)
+def _poly_exp_consts(n: int, sigma: float):
+    """1-D basis kernels and the inverse Gram matrix for the weighted LS fit."""
+    x = np.arange(-n, n + 1, dtype=np.float64)
+    g = np.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    g /= g.sum()
+    # basis over the 2-D window: [1, x, y, x^2, y^2, xy]
+    xx, yy = np.meshgrid(x, x)  # yy varies along rows
+    w = np.outer(g, g)
+    basis = np.stack([np.ones_like(xx), xx, yy, xx ** 2, yy ** 2, xx * yy])
+    gram = np.einsum("kij,lij,ij->kl", basis, basis, w)
+    ginv = np.linalg.inv(gram)
+    return (jnp.asarray(g, dtype=jnp.float32),
+            jnp.asarray(g * x, dtype=jnp.float32),
+            jnp.asarray(g * x * x, dtype=jnp.float32),
+            jnp.asarray(ginv, dtype=jnp.float32))
+
+
+def poly_expansion(image, n: int, sigma: float):
+    """Per-pixel quadratic fit. Returns (bx, by, axx, ayy, axy) planes."""
+    g, xg, xxg = _poly_exp_consts(n, sigma)[:3]
+    ginv = _poly_exp_consts(n, sigma)[3]
+    f = image.astype(jnp.float32)
+    # vertical passes (axis 0 = y), then horizontal (axis 1 = x)
+    fy0 = separable_correlate(f, g, axis=0)
+    fy1 = separable_correlate(f, xg, axis=0)
+    fy2 = separable_correlate(f, xxg, axis=0)
+    m00 = separable_correlate(fy0, g, axis=1)
+    m10 = separable_correlate(fy0, xg, axis=1)   # sum w * x * f
+    m01 = separable_correlate(fy1, g, axis=1)    # sum w * y * f
+    m20 = separable_correlate(fy0, xxg, axis=1)  # sum w * x^2 * f
+    m02 = separable_correlate(fy2, g, axis=1)    # sum w * y^2 * f
+    m11 = separable_correlate(fy1, xg, axis=1)   # sum w * x*y * f
+    moments = jnp.stack([m00, m10, m01, m20, m02, m11], axis=-1)
+    coeffs = moments @ ginv.T  # (H, W, 6): [c, bx, by, axx, ayy, axy]
+    bx = coeffs[..., 1]
+    by = coeffs[..., 2]
+    axx = coeffs[..., 3]
+    ayy = coeffs[..., 4]
+    axy = coeffs[..., 5] * 0.5
+    return bx, by, axx, ayy, axy
+
+
+def _update_flow(poly1, poly2, flow, winsize: int, use_gaussian: bool):
+    """One Farneback displacement-update iteration at one pyramid level."""
+    bx1, by1, axx1, ayy1, axy1 = poly1
+    h, w = bx1.shape
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    dx = flow[..., 0]
+    dy = flow[..., 1]
+    sx = xx + dx
+    sy = yy + dy
+    # fold the 5 coefficient planes of image2 warped to x + d
+    p2 = jnp.stack(poly2, axis=-1)
+    p2w = bilinear_sample(p2, sy, sx)
+    bx2, by2, axx2, ayy2, axy2 = (p2w[..., k] for k in range(5))
+    # in-bounds confidence: OpenCV ramps down matrices near borders /
+    # out-of-range warps; we zero-weight fully out-of-frame samples
+    inb = ((sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
+           ).astype(jnp.float32)
+    a11 = 0.5 * (axx1 + axx2)
+    a22 = 0.5 * (ayy1 + ayy2)
+    a12 = 0.5 * (axy1 + axy2)
+    db_x = -0.5 * (bx2 - bx1) + (a11 * dx + a12 * dy)
+    db_y = -0.5 * (by2 - by1) + (a12 * dx + a22 * dy)
+    # normal equations G = A'A, hvec = A'db, aggregated over the window
+    g11 = a11 * a11 + a12 * a12
+    g12 = a11 * a12 + a12 * a22
+    g22 = a12 * a12 + a22 * a22
+    h1 = a11 * db_x + a12 * db_y
+    h2 = a12 * db_x + a22 * db_y
+    planes = jnp.stack([g11 * inb, g12 * inb, g22 * inb,
+                        h1 * inb, h2 * inb, inb], axis=0)
+    if use_gaussian:
+        sigma = winsize * 0.3
+        agg = jax.vmap(lambda p: gaussian_blur(p, sigma, winsize // 2))(planes)
+    else:
+        agg = jax.vmap(lambda p: box_filter(p, winsize))(planes)
+    g11, g12, g22, h1, h2, weight = (agg[k] for k in range(6))
+    det = g11 * g22 - g12 * g12
+    ok = (det > 1e-9) & (weight > 0)
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    new_dx = (g22 * h1 - g12 * h2) * inv_det
+    new_dy = (g11 * h2 - g12 * h1) * inv_det
+    new = jnp.stack([new_dx, new_dy], axis=-1)
+    return jnp.where(ok[..., None], new, flow)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "pyr_scale", "levels", "winsize", "iterations", "poly_n", "poly_sigma",
+    "flags"))
+def farneback(prev_gray, next_gray, prev_flow=None, *, pyr_scale: float = 0.5,
+              levels: int = 3, winsize: int = 15, iterations: int = 3,
+              poly_n: int = 5, poly_sigma: float = 1.2, flags: int = 0):
+    """Estimate (H, W, 2) float32 flow from two uint8 grayscale frames.
+
+    Arguments mirror cv2.calcOpticalFlowFarneback; ``prev_flow`` is honored
+    only with OPTFLOW_USE_INITIAL_FLOW, like OpenCV."""
+    h, w = prev_gray.shape
+    prev = prev_gray.astype(jnp.float32)
+    nxt = next_gray.astype(jnp.float32)
+    use_gaussian = bool(flags & OPTFLOW_FARNEBACK_GAUSSIAN)
+
+    # level sizes, coarsest last; drop levels that get degenerate
+    level_shapes = []
+    for k in range(levels + 1):
+        scale = pyr_scale ** k
+        lh, lw = int(round(h * scale)), int(round(w * scale))
+        if min(lh, lw) <= 2 * poly_n + 1:
+            break
+        level_shapes.append((lh, lw, scale))
+
+    if flags & OPTFLOW_USE_INITIAL_FLOW and prev_flow is not None:
+        flow = prev_flow.astype(jnp.float32)
+        lh, lw, scale = level_shapes[-1]
+        flow = jax.image.resize(flow, (lh, lw, 2), "bilinear") * scale
+    else:
+        lh, lw, _ = level_shapes[-1]
+        flow = jnp.zeros((lh, lw, 2), dtype=jnp.float32)
+
+    for k in range(len(level_shapes) - 1, -1, -1):
+        lh, lw, scale = level_shapes[k]
+        if flow.shape[:2] != (lh, lw):
+            prev_scale = level_shapes[k + 1][2]
+            flow = jax.image.resize(flow, (lh, lw, 2), "bilinear") * (
+                scale / prev_scale)
+        if scale != 1.0:
+            sigma = (1.0 / scale - 1.0) * 0.5
+            img1 = jax.image.resize(gaussian_blur(prev, sigma), (lh, lw),
+                                    "linear")
+            img2 = jax.image.resize(gaussian_blur(nxt, sigma), (lh, lw),
+                                    "linear")
+        else:
+            img1, img2 = prev, nxt
+        poly1 = poly_expansion(img1, poly_n, poly_sigma)
+        poly2 = poly_expansion(img2, poly_n, poly_sigma)
+        for _ in range(iterations):
+            flow = _update_flow(poly1, poly2, flow, winsize, use_gaussian)
+    return flow

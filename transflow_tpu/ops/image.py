@@ -56,9 +56,10 @@ def correlate2d_reflect(image, kernel) -> jax.Array:
     image = image.astype(jnp.float32)
     kernel = jnp.asarray(kernel, dtype=jnp.float32)[::-1, ::-1]
     kh, kw = kernel.shape
-    # ndimage centers with origin 0: extra tap on the high side for even sizes
-    pad_top, pad_left = kh // 2, kw // 2
-    pad_bottom, pad_right = kh - 1 - pad_top, kw - 1 - pad_left
+    # ndimage origin-0 convolution == cross-correlation with the flipped
+    # kernel where even sizes put the extra tap on the HIGH side
+    pad_top, pad_left = (kh - 1) // 2, (kw - 1) // 2
+    pad_bottom, pad_right = kh // 2, kw // 2
     padded = jnp.pad(image, ((pad_top, pad_bottom), (pad_left, pad_right)),
                      mode="symmetric")
     out = jax.lax.conv_general_dilated(
