@@ -1,0 +1,192 @@
+"""Device engine: assembles estimation + post-process + merge + upscale +
+compositor into jitted steps and owns all device-resident state.
+
+This replaces the reference's process/queue dataflow
+(transflow/pipeline.py:56-136 SourceProcess/OutputProcess and the per-frame
+numpy compositor calls :545-596) with a single device program per frame:
+host threads only decode/encode; everything between the uint8 frame upload
+and the uint8 RGB readback runs on the TPU.
+"""
+import logging
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .compositor.core import LayerParams, build_compositor
+from .config import Config
+from .flow import Direction
+from .flow.estimators import get_estimator
+from .flow.merge import get_merge_function
+from .flow.sources.base import FlowItem, FlowSource
+from .ops.image import upscale_flow
+from .ops.render import flow_magnitude, render1d, render2d
+
+logger = logging.getLogger(__name__)
+
+
+class SourceRuntime:
+    """Device-side state for one flow source."""
+
+    def __init__(self, source: FlowSource, estimator_step):
+        self.source = source
+        self.estimator_step = estimator_step  # None for flow-yielding sources
+        self.prev_gray = None
+        self.prev_flow = None
+        self.last_raw = None
+
+    def reset(self, prime_frame: np.ndarray):
+        h, w = self.source.height, self.source.width
+        self.prev_gray = jax.device_put(np.asarray(prime_frame))
+        self.prev_flow = jnp.zeros((h, w, 2), dtype=jnp.float32)
+
+    def ingest(self, item: FlowItem):
+        """Consume a FlowItem, return the raw device flow for this tick."""
+        if item.kind == FlowItem.REPLAY:
+            if item.discarded is not None:
+                self._advance(item.discarded, keep=False)
+            if self.last_raw is None:
+                raise RuntimeError("Lock replay before first flow")
+            return self.last_raw
+        return self._advance(item, keep=True)
+
+    def _advance(self, item: FlowItem, keep: bool):
+        if item.kind == FlowItem.FLOW:
+            raw = jnp.asarray(item.array, dtype=jnp.float32)
+        else:
+            if item.prime is not None:
+                self.reset(item.prime)
+            gray = jax.device_put(np.asarray(item.array))
+            raw = self.estimator_step(self.prev_gray, gray, self.prev_flow)
+            self.prev_gray = gray
+            if keep:
+                self.prev_flow = raw
+        if keep:
+            self.last_raw = raw
+        return raw
+
+
+def make_estimator_step(method: str, estimator_kwargs: dict,
+                        direction: Direction):
+    """Jitted (prev_gray, gray, prev_flow) -> raw flow for one source.
+
+    Frame ordering parity: transflow/flow/sources/cv.py:467-474 (forward
+    pairs (prev, next); backward pairs (next, prev))."""
+    estimator = get_estimator(method)
+
+    @jax.jit
+    def step(prev_gray, gray, prev_flow):
+        if direction == Direction.FORWARD:
+            left, right = prev_gray, gray
+        else:
+            left, right = gray, prev_gray
+        if method in ("farneback", "horn-schunck"):
+            return estimator(left, right, prev_flow, **estimator_kwargs)
+        return estimator(left, right, **estimator_kwargs)
+
+    return step
+
+
+class Engine:
+    """Owns the fused per-frame device program + device state."""
+
+    def __init__(self,
+                 cfg: Config,
+                 flow_sources: Sequence[FlowSource],
+                 layer_params: Sequence[LayerParams],
+                 out_height: int,
+                 out_width: int,
+                 width_factor: int = 1,
+                 height_factor: int = 1):
+        self.cfg = cfg
+        self.out_height = out_height
+        self.out_width = out_width
+        self.width_factor = width_factor
+        self.height_factor = height_factor
+        self.key = jax.random.key(cfg.seed)  # typed key: clean (de)serialization
+        self.runtimes: list[SourceRuntime] = []
+        for source in flow_sources:
+            estimator_step = None
+            if source.yields_frames:
+                estimator_step = make_estimator_step(
+                    source.config.method, source.config.estimator_kwargs(),
+                    source.direction)
+            self.runtimes.append(SourceRuntime(source, estimator_step))
+        postprocesses = [src.build_postprocess() for src in flow_sources]
+        merge = get_merge_function(cfg.flows_merging_function)
+        self.layer_params = layer_params
+        init_fn, comp_step = build_compositor(
+            layer_params, out_height, out_width, cfg.compositor_background)
+        self.comp_state = init_fn()
+        render_mode = ("flow" if cfg.view_flow
+                       else "magnitude" if cfg.view_flow_magnitude
+                       else "compositor" if any(
+                           p.num_sources for p in layer_params) else None)
+        self.render_mode = render_mode
+        wf, hf = width_factor, height_factor
+
+        def device_step(comp_state, raw_flows, t, pixmaps, key,
+                        frame_numbers):
+            processed = [pp(raw, t) for pp, raw in zip(postprocesses,
+                                                       raw_flows)]
+            flow = merge(processed)
+            if wf != 1 or hf != 1:
+                flow = upscale_flow(flow, wf, hf)
+            comp_state = comp_step.update(comp_state, flow, pixmaps, key,
+                                          frame_numbers)
+            if render_mode == "flow":
+                frame = render2d(flow, cfg.render_scale, cfg.render_colors)
+            elif render_mode == "magnitude":
+                frame = render1d(flow_magnitude(flow), cfg.render_scale,
+                                 cfg.render_colors, cfg.render_binary)
+            elif render_mode == "compositor":
+                comp_state, frame = comp_step.render(comp_state)
+            else:
+                frame = jnp.zeros((out_height, out_width, 3), dtype=jnp.uint8)
+            return comp_state, frame, flow
+
+        self._device_step = jax.jit(device_step)
+
+    # ------------------------------------------------------------------
+
+    def process_frame(self, items: Sequence[FlowItem], pixmaps, t: float,
+                      frame_numbers):
+        """One frame: items (one per flow source) -> (rgb, flow) device arrays.
+
+        ``pixmaps``: tuple per layer of tuples per source of device uint8
+        arrays; ``frame_numbers`` mirrors it with ints."""
+        raw_flows = tuple(rt.ingest(item)
+                          for rt, item in zip(self.runtimes, items))
+        self.key, sub = jax.random.split(self.key)
+        self.comp_state, frame, flow = self._device_step(
+            self.comp_state, raw_flows, jnp.float32(t), pixmaps, sub,
+            frame_numbers)
+        return frame, flow
+
+    # ------------------------------------------------------------------
+    # checkpoint support
+    # ------------------------------------------------------------------
+
+    def state_arrays(self) -> dict:
+        """Flatten compositor state + RNG key into named numpy arrays."""
+        out = {"rng_key": np.asarray(jax.random.key_data(self.key))}
+        for idx, layer_state in enumerate(self.comp_state):
+            for name, value in layer_state.items():
+                out[f"layer{idx}.{name}"] = np.asarray(value)
+        return out
+
+    def load_state_arrays(self, arrays: dict):
+        if "rng_key" in arrays:
+            self.key = jax.random.wrap_key_data(jnp.asarray(arrays["rng_key"]))
+        new_state = []
+        for idx, layer_state in enumerate(self.comp_state):
+            loaded = {}
+            for name, value in layer_state.items():
+                stored = arrays.get(f"layer{idx}.{name}")
+                if stored is None:
+                    loaded[name] = value
+                else:
+                    loaded[name] = jnp.asarray(stored)
+            new_state.append(loaded)
+        self.comp_state = new_state

@@ -31,7 +31,10 @@ OPTFLOW_FARNEBACK_GAUSSIAN = 256  # cv2 flag value
 
 @functools.lru_cache(maxsize=None)
 def _poly_exp_consts(n: int, sigma: float):
-    """1-D basis kernels and the inverse Gram matrix for the weighted LS fit."""
+    """1-D basis kernels and the inverse Gram matrix for the weighted LS fit.
+
+    Returns numpy arrays ONLY: inside a jit trace jnp.asarray stages a
+    tracer, and caching a tracer across traces is a leak."""
     x = np.arange(-n, n + 1, dtype=np.float64)
     g = np.exp(-(x ** 2) / (2.0 * sigma ** 2))
     g /= g.sum()
@@ -41,16 +44,14 @@ def _poly_exp_consts(n: int, sigma: float):
     basis = np.stack([np.ones_like(xx), xx, yy, xx ** 2, yy ** 2, xx * yy])
     gram = np.einsum("kij,lij,ij->kl", basis, basis, w)
     ginv = np.linalg.inv(gram)
-    return (jnp.asarray(g, dtype=jnp.float32),
-            jnp.asarray(g * x, dtype=jnp.float32),
-            jnp.asarray(g * x * x, dtype=jnp.float32),
-            jnp.asarray(ginv, dtype=jnp.float32))
+    return (g.astype(np.float32), (g * x).astype(np.float32),
+            (g * x * x).astype(np.float32), ginv.astype(np.float32))
 
 
 def poly_expansion(image, n: int, sigma: float):
     """Per-pixel quadratic fit. Returns (bx, by, axx, ayy, axy) planes."""
-    g, xg, xxg = _poly_exp_consts(n, sigma)[:3]
-    ginv = _poly_exp_consts(n, sigma)[3]
+    g, xg, xxg, ginv_np = _poly_exp_consts(n, sigma)
+    ginv = jnp.asarray(ginv_np)
     f = image.astype(jnp.float32)
     # vertical passes (axis 0 = y), then horizontal (axis 1 = x)
     fy0 = separable_correlate(f, g, axis=0)

@@ -1,0 +1,84 @@
+"""Encoded video file output.
+
+Parity reference: transflow/output/ffmpeg.py:10-66 (raw rgb24 piped into an
+ffmpeg subprocess). This implementation prefers the ffmpeg binary when
+present; otherwise it falls back to cv2.VideoWriter (this image ships OpenCV
+with codec support but no ffmpeg binary).
+"""
+import logging
+import shutil
+import subprocess
+
+import numpy as np
+
+from ..utils import find_unique_path, startfile
+from .video_output import VideoOutput
+
+logger = logging.getLogger(__name__)
+
+_FOURCC = {
+    "h264": "avc1",
+    "h265": "hev1",
+    "hevc": "hev1",
+    "mp4v": "mp4v",
+    "mjpeg": "MJPG",
+    "vp9": "VP90",
+}
+
+
+class EncodedVideoOutput(VideoOutput):
+
+    def __init__(self, path: str, width: int, height: int, framerate: float,
+                 vcodec: str = "h264", execute: bool = False,
+                 replace: bool = False):
+        super().__init__(width, height, framerate)
+        self.output_path = path if replace else find_unique_path(path)
+        self.vcodec = vcodec
+        self.execute = execute
+        self.process: subprocess.Popen | None = None
+        self.writer = None
+
+    def open(self):
+        ffmpeg = shutil.which("ffmpeg")
+        if ffmpeg is not None:
+            self.process = subprocess.Popen(
+                [ffmpeg, "-y", "-f", "rawvideo", "-pix_fmt", "rgb24",
+                 "-s", f"{self.width}x{self.height}",
+                 "-r", str(self.framerate), "-i", "-",
+                 "-pix_fmt", "yuv420p", "-vcodec", self.vcodec,
+                 "-loglevel", "error", self.output_path],
+                stdin=subprocess.PIPE)
+            return self
+        import cv2
+        fourcc = cv2.VideoWriter_fourcc(*_FOURCC.get(self.vcodec, "mp4v"))
+        self.writer = cv2.VideoWriter(
+            self.output_path, fourcc, self.framerate,
+            (self.width, self.height))
+        if not self.writer.isOpened():
+            # last-resort codec
+            self.writer = cv2.VideoWriter(
+                self.output_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                self.framerate, (self.width, self.height))
+        if not self.writer.isOpened():
+            raise RuntimeError(
+                f"Could not open video writer for {self.output_path!r}")
+        return self
+
+    def feed(self, frame):
+        frame = np.asarray(frame, dtype=np.uint8)
+        if self.process is not None:
+            self.process.stdin.write(frame.tobytes())
+        else:
+            import cv2
+            self.writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+
+    def close(self):
+        if self.process is not None:
+            self.process.stdin.close()
+            self.process.wait()
+            self.process = None
+        if self.writer is not None:
+            self.writer.release()
+            self.writer = None
+        if self.execute and self.output_path:
+            startfile(self.output_path)

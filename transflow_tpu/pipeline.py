@@ -1,0 +1,581 @@
+"""Host pipeline: decode threads -> device engine -> encode threads.
+
+Parity reference: transflow/pipeline.py (the 653-line process-parallel
+orchestrator). Architectural mapping (SURVEY §2.3):
+
+* SourceProcess + maxsize-1 mp.Queue  ->  a decode thread per source with a
+  bounded queue.Queue (same backpressure, no pickling across processes);
+* the numpy compositor hot loop       ->  Engine (one fused jitted device
+  program per frame; jax's async dispatch overlaps host decode of frame
+  t+1 with device compute of frame t);
+* OutputProcess                        ->  an encode thread per output;
+* metadata handshake                   ->  sources opened inline before
+  tracing (static shapes for jit);
+* log-queue fan-in                     ->  ordinary logging (single process);
+* checkpoint = pickled Compositor      ->  meta.json + named-array .npz
+  (pickle-free), same .ckpt.zip resume semantics.
+"""
+import dataclasses
+import json
+import logging
+import logging.config
+import pathlib
+import queue
+import threading
+import time
+import zipfile
+from typing import Optional
+
+import numpy as np
+
+try:
+    from tqdm import tqdm
+except ImportError:  # pragma: no cover
+    tqdm = None
+
+import jax
+
+from .compositor.core import make_layer_params
+from .config import Config
+from .engine import Engine
+from .flow.sources.base import FlowSource
+from .output.archive import NumpyArchiveOutput, ZipOutput
+from .output.video_output import VideoOutput
+from .pixmap.base import PixmapSource
+from .utils import load_bool_mask
+
+logger = logging.getLogger(__name__)
+
+
+class _SourceThread(threading.Thread):
+    """Decode thread with a bounded queue (backpressure like the reference's
+    maxsize-1 mp.Queue, pipeline.py:326)."""
+
+    SENTINEL = None
+
+    def __init__(self, iterator, maxsize: int = 2, name: str = "source"):
+        super().__init__(daemon=True, name=name)
+        self.iterator = iterator
+        self.queue: queue.Queue = queue.Queue(maxsize=maxsize)
+        self.error: Exception | None = None
+        self._stop = threading.Event()
+
+    def run(self):
+        try:
+            for item in self.iterator:
+                if self._stop.is_set():
+                    return
+                while True:
+                    try:
+                        self.queue.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        if self._stop.is_set():
+                            return
+        except Exception as err:  # noqa: BLE001 — reported to the main loop
+            self.error = err
+            logger.exception("Source thread failed")
+        finally:
+            try:
+                self.queue.put(self.SENTINEL, timeout=5)
+            except queue.Full:
+                pass
+
+    def get(self, timeout: float = 10.0):
+        item = self.queue.get(timeout=timeout)
+        if item is self.SENTINEL:
+            if self.error is not None:
+                raise self.error
+            raise StopIteration
+        return item
+
+    def stop(self):
+        self._stop.set()
+
+
+class _OutputThread(threading.Thread):
+    """Encode thread (reference OutputProcess, pipeline.py:104-136)."""
+
+    SENTINEL = None
+
+    def __init__(self, output: VideoOutput, maxsize: int = 2):
+        super().__init__(daemon=True, name="output")
+        self.output = output
+        self.queue: queue.Queue = queue.Queue(maxsize=maxsize)
+        self.error: Exception | None = None
+
+    def run(self):
+        try:
+            self.output.open()
+            while True:
+                frame = self.queue.get()
+                if frame is self.SENTINEL:
+                    break
+                self.output.feed(np.asarray(frame))
+        except Exception as err:  # noqa: BLE001
+            self.error = err
+            logger.exception("Output thread failed")
+        finally:
+            try:
+                self.output.close()
+            except Exception:  # noqa: BLE001
+                logger.exception("Output close failed")
+
+    def feed(self, frame):
+        if self.error is not None:
+            raise self.error
+        self.queue.put(frame, timeout=10)
+
+    def finish(self):
+        try:
+            self.queue.put(self.SENTINEL, timeout=5)
+        except queue.Full:
+            pass
+
+
+class Pipeline:
+    """End-to-end render driver. Parity: transflow/pipeline.py:139-653."""
+
+    @dataclasses.dataclass
+    class Status:
+        cursor: int
+        total: int | None
+        elapsed: float
+        error: str | None
+
+    def __init__(self,
+                 cfg: Config,
+                 safe: bool = False,
+                 checkpoint_every: int | None = None,
+                 checkpoint_end: bool = False,
+                 execute: bool = False,
+                 replace: bool = False,
+                 export_config: bool = True,
+                 export_flow: bool = False,
+                 round_flow: bool = False,
+                 preview_output: bool = False,
+                 log_level: str = "DEBUG",
+                 log_handler: str = "null",
+                 log_path: pathlib.Path = pathlib.Path("transflow.log"),
+                 cancel_event: Optional[threading.Event] = None,
+                 status_queue=None,
+                 progress: bool = True):
+        self.config = cfg
+        self.safe = safe
+        self.checkpoint_every = checkpoint_every
+        self.checkpoint_end = checkpoint_end or safe
+        self.execute = execute
+        self.replace = replace
+        self.export_config = export_config or safe
+        self.export_flow = export_flow
+        self.round_flow = round_flow
+        self.preview_output = preview_output
+        self.log_level = log_level
+        self.log_handler = log_handler
+        self.log_path = pathlib.Path(log_path)
+        self.cancel_event = cancel_event
+        self.status_queue = status_queue
+        self.progress = progress and tqdm is not None
+
+        self.flow_sources: list[FlowSource] = []
+        self.flow_threads: list[_SourceThread] = []
+        self.pixmap_sources: list[PixmapSource] = []
+        self.pixmap_threads: list[Optional[_SourceThread]] = []
+        self.output_threads: list[_OutputThread] = []
+        self.flow_output: NumpyArchiveOutput | None = None
+        self.engine: Engine | None = None
+        self.ckpt_meta: dict = {}
+        self.ckpt_arrays: dict = {}
+        self.cursor = 0
+        self.fs_width = self.fs_height = 0
+        self.fs_framerate: float = 30.0
+        self.fs_length: int | None = None
+        self.bs_framerate: float | None = None
+        self.bs_length: int | None = None
+        self.width_factor = 1
+        self.height_factor = 1
+        # per-layer-position pixmap bindings: list of (pixmap_idx,)
+        self._layer_bindings: list[list[int]] = []
+        # device pixmap cache: index -> (device array, frame_number)
+        self._pix_current: list = []
+        self._pix_constant: list[bool] = []
+
+    # ------------------------------------------------------------------
+
+    @property
+    def has_output(self) -> bool:
+        return (bool(self.config.pixmap_sources) or self.config.view_flow
+                or self.config.view_flow_magnitude)
+
+    @property
+    def expected_length(self) -> int | None:
+        lengths = [x for x in (self.fs_length, self.bs_length)
+                   if x is not None]
+        return min(lengths) if lengths else None
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+
+    def _setup_logging(self):
+        handlers = [h.strip() for h in self.log_handler.split(",")]
+        config: dict = {
+            "version": 1,
+            "disable_existing_loggers": False,
+            "formatters": {"default": {
+                "format": "%(asctime)s %(levelname)s %(name)s %(message)s"}},
+            "handlers": {},
+            "root": {"level": self.log_level, "handlers": []},
+        }
+        if "file" in handlers:
+            self.log_path.parent.mkdir(parents=True, exist_ok=True)
+            config["handlers"]["file"] = {
+                "class": "logging.FileHandler", "filename": str(self.log_path),
+                "formatter": "default"}
+            config["root"]["handlers"].append("file")
+        if "stream" in handlers:
+            config["handlers"]["stream"] = {
+                "class": "logging.StreamHandler", "formatter": "default"}
+            config["root"]["handlers"].append("stream")
+        if not config["root"]["handlers"]:
+            # no handlers requested: leave logging configuration alone
+            # (setting the root level to DEBUG would flood embedding apps
+            # and test runners with jax internals)
+            return
+        logging.config.dictConfig(config)
+
+    def _setup_checkpoint(self):
+        """Resume from a .ckpt.zip action. Parity: pipeline.py:290-306."""
+        action = self.config.flow_path
+        if not action.endswith(".ckpt.zip"):
+            return
+        with zipfile.ZipFile(action) as archive:
+            with archive.open("meta.json") as file:
+                self.ckpt_meta = json.loads(file.read().decode())
+            with archive.open("state.npz") as file:
+                loaded = np.load(file)
+                self.ckpt_arrays = {k: loaded[k] for k in loaded.files}
+        # sources reposition themselves via seek_ckpt (see FlowSource.open);
+        # the original seek/duration stay untouched so repeat spans survive
+        self.config = Config.fromdict(self.ckpt_meta["config"])
+        self.cursor = 0  # relative to the resumed run; absolute = base+cursor
+
+    def _setup_flow_sources(self):
+        paths = [self.config.flow_path] + list(self.config.extra_flow_paths)
+        seek_ckpt = self.ckpt_meta.get("cursor")
+        for path in paths:
+            source = FlowSource.from_args(
+                path,
+                use_mvs=self.config.use_mvs,
+                mask_path=self.config.mask_path,
+                kernel_path=self.config.kernel_path,
+                cv_config=self.config.cv_config,
+                flow_filters=self.config.flow_filters,
+                size=self.config.size,
+                direction=self.config.direction,
+                seek_ckpt=seek_ckpt,
+                seek_time=self.config.seek_time,
+                duration_time=self.config.duration_time,
+                repeat=self.config.repeat,
+                lock_expr=self.config.lock_expr,
+                lock_mode=self.config.lock_mode,
+            )
+            source.open()
+            self.flow_sources.append(source)
+        main = self.flow_sources[0]
+        self.fs_width, self.fs_height = main.width, main.height
+        self.fs_framerate = main.framerate
+        self.fs_length = main.length
+        for source in self.flow_sources[1:]:
+            if (source.width, source.height) != (self.fs_width,
+                                                 self.fs_height):
+                raise ValueError("Extra flow sources must match the main "
+                                 "flow's resolution")
+
+    def _setup_pixmap_sources(self):
+        for pix_cfg in self.config.pixmap_sources:
+            source = PixmapSource.from_args(
+                pix_cfg.path,
+                (self.fs_width, self.fs_height),
+                seek=self.ckpt_meta.get("cursor"),
+                seed=self.config.seed,
+                seek_time=pix_cfg.seek_time,
+                alteration_path=pix_cfg.alteration_path,
+                repeat=pix_cfg.repeat,
+                flow_path=self.config.flow_path,
+            )
+            source.open()
+            self.pixmap_sources.append(source)
+            if source.length is not None:
+                if self.bs_length is None or source.length < self.bs_length:
+                    self.bs_length = source.length
+            if source.framerate:
+                self.bs_framerate = source.framerate
+        if self.pixmap_sources:
+            bs_width = max(s.width for s in self.pixmap_sources)
+            bs_height = max(s.height for s in self.pixmap_sources)
+            if (bs_width, bs_height) != (self.fs_width, self.fs_height):
+                if (bs_width % self.fs_width or bs_height % self.fs_height):
+                    raise ValueError(
+                        f"Resolutions do not match: flow is "
+                        f"{self.fs_width}x{self.fs_height} while pixmap is "
+                        f"{bs_width}x{bs_height}.")
+                self.width_factor = bs_width // self.fs_width
+                self.height_factor = bs_height // self.fs_height
+
+    def _setup_engine(self):
+        out_h = self.fs_height * self.height_factor
+        out_w = self.fs_width * self.width_factor
+        # bind pixmaps to layers: sources_by_layer[cfg.index] =
+        # [(channels, introduction_mask)], order = pixmap declaration order
+        sources_by_layer: dict = {}
+        bindings: dict = {}
+        for pix_idx, pix_cfg in enumerate(self.config.pixmap_sources):
+            source = self.pixmap_sources[pix_idx]
+            peek = next(source)
+            self._pix_peek = getattr(self, "_pix_peek", {})
+            self._pix_peek[pix_idx] = peek
+            channels = peek.shape[2]
+            mask = load_bool_mask(pix_cfg.introduction_path, (out_h, out_w),
+                                  True)
+            for layer_index in pix_cfg.layers:
+                sources_by_layer.setdefault(layer_index, []).append(
+                    (channels, mask))
+                bindings.setdefault(layer_index, []).append(pix_idx)
+        layer_params = make_layer_params(self.config.layers, out_h, out_w,
+                                         sources_by_layer)
+        self._layer_bindings = [bindings.get(cfg.index, [])
+                                for cfg in self.config.layers]
+        self.engine = Engine(self.config, self.flow_sources, layer_params,
+                             out_h, out_w, self.width_factor,
+                             self.height_factor)
+        if self.ckpt_arrays:
+            self.engine.load_state_arrays(self.ckpt_arrays)
+        # device pixmap slots
+        self._pix_current = [None] * len(self.pixmap_sources)
+        self._pix_frame_no = [-1] * len(self.pixmap_sources)
+        self._pix_constant = [getattr(s, "is_constant", False)
+                              for s in self.pixmap_sources]
+        for pix_idx, peek in getattr(self, "_pix_peek", {}).items():
+            self._push_pixmap(pix_idx, peek)
+
+    def _push_pixmap(self, pix_idx: int, frame: np.ndarray):
+        out_h = self.fs_height * self.height_factor
+        out_w = self.fs_width * self.width_factor
+        if frame.shape[0] != out_h or frame.shape[1] != out_w:
+            import cv2
+            frame = cv2.resize(frame, (out_w, out_h),
+                               interpolation=cv2.INTER_NEAREST)
+        self._pix_current[pix_idx] = jax.device_put(frame)
+        self._pix_frame_no[pix_idx] += 1
+
+    def _setup_flow_export(self):
+        if not self.export_flow:
+            return
+        path = self.config.get_secondary_output_path(".flow.zip")
+        meta = {
+            "direction": self.config.direction.value,
+            "width": self.fs_width * self.width_factor,
+            "height": self.fs_height * self.height_factor,
+            "framerate": self.fs_framerate,
+        }
+        self.flow_output = NumpyArchiveOutput(path, meta, self.replace)
+
+    def _setup_outputs(self):
+        if not self.has_output:
+            return
+        out_w = self.fs_width * self.width_factor
+        out_h = self.fs_height * self.height_factor
+        framerate = (self.bs_framerate if self.bs_framerate
+                     else self.fs_framerate)
+        paths: list[str | None] = []
+        if isinstance(self.config.output_path, list):
+            paths += self.config.output_path
+        else:
+            paths.append(self.config.output_path)
+        if self.config.output_path is not None and self.preview_output:
+            paths.append(None)
+        for path in paths:
+            output = VideoOutput.from_args(
+                path, out_w, out_h, framerate, self.config.vcodec,
+                self.execute, self.replace,
+                initial_counter=self.ckpt_meta.get("cursor", 0))
+            if self.export_config and output.output_path is not None:
+                config_path = pathlib.Path(
+                    output.output_path).with_suffix(".config.json")
+                with config_path.open("w") as file:
+                    json.dump(self.config.todict(), file)
+            thread = _OutputThread(output)
+            thread.start()
+            self.output_threads.append(thread)
+
+    def _setup(self):
+        self._setup_logging()
+        self._setup_checkpoint()
+        if not (self.has_output or self.export_flow or self.checkpoint_end):
+            logger.warning("No output or exportation selected")
+        self._setup_flow_sources()
+        self._setup_pixmap_sources()
+        self._setup_engine()
+        self._setup_flow_export()
+        self._setup_outputs()
+        for source in self.flow_sources:
+            thread = _SourceThread(source, name="flow-decode")
+            thread.start()
+            self.flow_threads.append(thread)
+        for pix_idx, source in enumerate(self.pixmap_sources):
+            if self._pix_constant[pix_idx]:
+                self.pixmap_threads.append(None)
+            else:
+                thread = _SourceThread(source, name="pixmap-decode")
+                thread.start()
+                self.pixmap_threads.append(thread)
+
+    # ------------------------------------------------------------------
+    # checkpoints
+    # ------------------------------------------------------------------
+
+    def export_checkpoint(self):
+        assert self.engine is not None
+        base_cursor = self.ckpt_meta.get("cursor", 0) + self.cursor
+        output = ZipOutput(
+            self.config.get_secondary_output_path(
+                f"_{base_cursor:05d}.ckpt.zip"), self.replace)
+        output.write_meta({
+            "config": self.config.todict(),
+            "cursor": self.cursor,
+            "framerate": self.fs_framerate,
+            "timestamp": time.time(),
+        })
+        output.write_arrays("state.npz", self.engine.state_arrays())
+        output.close()
+        logger.debug("Exported checkpoint at cursor %d", self.cursor)
+        return output.path
+
+    # ------------------------------------------------------------------
+    # main loop
+    # ------------------------------------------------------------------
+
+    def _gather_pixmaps(self):
+        """Advance video pixmaps one frame; build the engine's args."""
+        for pix_idx, thread in enumerate(self.pixmap_threads):
+            if thread is None:
+                continue  # constant source: device copy persists
+            if self._pix_frame_no[pix_idx] < self.cursor:
+                frame = thread.get()
+                self._push_pixmap(pix_idx, frame)
+        pixmaps = tuple(
+            tuple(self._pix_current[i] for i in binding)
+            for binding in self._layer_bindings)
+        # reference increments each source's frame counter once per output
+        # frame (pixmap_source_interface.py:26-33), so constant sources track
+        # the cursor too
+        frames = tuple(
+            tuple(self.cursor if self._pix_constant[i]
+                  else self._pix_frame_no[i] for i in binding)
+            for binding in self._layer_bindings)
+        return pixmaps, frames
+
+    def _emit_status(self, started: float, error: str | None = None):
+        if self.status_queue is None:
+            return
+        status = Pipeline.Status(self.cursor, self.expected_length,
+                                 time.time() - started, error)
+        try:
+            self.status_queue.put(status, block=False)
+        except queue.Full:
+            pass
+
+    def _mainloop(self):
+        started = time.time()
+        total = self.expected_length
+        bar = tqdm(total=total, unit="frame") if self.progress else None
+        pending = None  # (device frame, device flow) — one-deep pipeline
+        try:
+            while True:
+                if total is not None and self.cursor >= total:
+                    break
+                if self.cancel_event is not None and self.cancel_event.is_set():
+                    logger.info("Cancelled")
+                    break
+                try:
+                    items = [thread.get() for thread in self.flow_threads]
+                except StopIteration:
+                    break
+                pixmaps, frame_numbers = self._gather_pixmaps()
+                t = (self.ckpt_meta.get("cursor", 0) + self.cursor) \
+                    / self.fs_framerate
+                frame, flow = self.engine.process_frame(
+                    items, pixmaps, t, frame_numbers)
+                # drain the PREVIOUS frame while this one computes (async
+                # dispatch keeps the device busy)
+                if pending is not None:
+                    self._drain(*pending)
+                pending = (frame, flow)
+                self.cursor += 1
+                if bar is not None:
+                    bar.update(1)
+                if (self.checkpoint_every
+                        and self.cursor % self.checkpoint_every == 0):
+                    self.export_checkpoint()
+                self._emit_status(started)
+            if pending is not None:
+                self._drain(*pending)
+            if self.checkpoint_end and self.engine is not None:
+                self.export_checkpoint()
+        finally:
+            if bar is not None:
+                bar.close()
+
+    def _drain(self, frame, flow):
+        if self.flow_output is not None:
+            host_flow = np.asarray(flow)
+            if self.round_flow:
+                host_flow = np.round(host_flow).astype(int)
+            self.flow_output.write_array(host_flow)
+        if self.output_threads:
+            host_frame = np.asarray(frame)
+            for thread in self.output_threads:
+                thread.feed(host_frame)
+
+    def _close(self):
+        for thread in self.flow_threads:
+            thread.stop()
+        for thread in self.pixmap_threads:
+            if thread is not None:
+                thread.stop()
+        for thread in self.output_threads:
+            thread.finish()
+        for thread in self.output_threads:
+            thread.join(timeout=30)
+        for source in self.flow_sources:
+            source.close()
+        for source in self.pixmap_sources:
+            source.close()
+        if self.flow_output is not None:
+            self.flow_output.close()
+
+    def run(self):
+        error: Exception | None = None
+        started = time.time()
+        try:
+            self._setup()
+            self._mainloop()
+        except (Exception, KeyboardInterrupt) as err:  # noqa: BLE001
+            error = err
+            logger.exception("Pipeline failed")
+            if self.safe and self.engine is not None:
+                try:
+                    path = self.export_checkpoint()
+                    logger.info("Safe-mode checkpoint written to %s", path)
+                except Exception:  # noqa: BLE001
+                    logger.exception("Safe-mode checkpoint failed")
+                config_path = "last-config.json"
+                with open(config_path, "w") as file:
+                    json.dump(self.config.todict(), file)
+            self._emit_status(started, error=str(err))
+        finally:
+            self._close()
+        if error is not None and not isinstance(error, KeyboardInterrupt):
+            raise error
+        self._emit_status(started)
