@@ -1,0 +1,140 @@
+"""Benchmark: end-to-end 1080p frames/sec (flow estimation + warp + composite)
+on one TPU chip, vs the reference's CPU pipeline (OpenCV Farneback + numpy
+compositor) on this host.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+BASELINE.md target: >= 500 fps at 1080p, >= 50x the CPU reference.
+"""
+import json
+import os
+import sys
+import time
+
+# Persistent compilation cache: the 1080p program is large and this
+# environment compiles through a remote service — cache across runs.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+HEIGHT, WIDTH = 1080, 1920
+CHUNK = 16          # frames per device dispatch (lax.scan)
+CHUNKS_TIMED = 4
+CPU_FRAMES = 3      # enough to anchor the baseline; CPU is ~seconds/frame
+
+
+def make_frames(n, seed=0):
+    """Synthetic moving-texture frames (realistic flow workload)."""
+    rng = np.random.default_rng(seed)
+    import scipy.ndimage
+    base = scipy.ndimage.gaussian_filter(
+        rng.integers(0, 256, (HEIGHT + 64, WIDTH + 64)).astype(np.float32), 2)
+    base = (255 * (base - base.min()) / np.ptp(base)).astype(np.uint8)
+    frames = []
+    for t in range(n):
+        dx, dy = int(3 * np.sin(0.3 * t) + 3), int(2 * np.cos(0.4 * t) + 2)
+        frames.append(base[32 + dy:32 + dy + HEIGHT,
+                           32 + dx:32 + dx + WIDTH])
+    return np.stack(frames)
+
+
+def bench_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+    from transflow_tpu.config import LayerConfig
+    from transflow_tpu.flow import Direction
+    from transflow_tpu.model import FlowTransferModel
+
+    model = FlowTransferModel(
+        HEIGHT, WIDTH,
+        [LayerConfig(0, reset_mode="random", reset_random_factor=0.01)],
+        {0: [(3, np.ones((HEIGHT, WIDTH), bool))]},
+        method="farneback",
+        estimator_kwargs={},  # cv2 defaults: pyr .5, 3 levels, win 15, 3 it
+        direction=Direction.BACKWARD)
+    frames = make_frames(CHUNK + 1)
+    state = model.init_state(frames[0])
+    grays = jax.device_put(jnp.asarray(frames[1:]))
+    pixmaps = model.default_pixmaps()
+    key = jax.random.key(0)
+
+    # warmup/compile
+    state2, rgbs = model.jit_scan(state, grays, pixmaps, jnp.float32(0.0),
+                                  key)
+    jax.block_until_ready(rgbs)
+    # timed: state threads through chunks like the real pipeline
+    start = time.perf_counter()
+    current = state2
+    for i in range(CHUNKS_TIMED):
+        current, rgbs = model.jit_scan(current, grays, pixmaps,
+                                       jnp.float32(i), key)
+    jax.block_until_ready(rgbs)
+    elapsed = time.perf_counter() - start
+    return CHUNK * CHUNKS_TIMED / elapsed
+
+
+def bench_cpu_reference() -> float:
+    """The reference's per-frame CPU work: cv2 Farneback + the numpy
+    moveref update (round/flatten flow, masked permutation via flat
+    assignment, reset, gather) + alpha composite, at 1080p."""
+    import cv2
+    frames = make_frames(CPU_FRAMES + 1, seed=1)
+    pixmap = np.random.default_rng(0).integers(
+        0, 256, (HEIGHT, WIDTH, 3), dtype=np.uint8)
+    n = HEIGHT * WIDTH
+    data = np.stack(np.indices((HEIGHT, WIDTH)), axis=-1).reshape(n, 2)
+    alpha = np.ones(n, dtype=np.int32)
+    rng = np.random.default_rng(0)
+    start = time.perf_counter()
+    for i in range(CPU_FRAMES):
+        flow = cv2.calcOpticalFlowFarneback(
+            frames[i + 1], frames[i], None, 0.5, 3, 15, 3, 5, 1.2, 0)
+        flow_int = np.round(flow).astype(np.int32)
+        flow_flat = (flow_int[..., 1] * WIDTH + flow_int[..., 0]).ravel()
+        where_target = np.nonzero(flow_flat)[0]
+        where_source = np.clip(where_target + flow_flat[where_target],
+                               0, n - 1)
+        data[where_target] = data[where_source]
+        alpha[where_target] = 1
+        reset = rng.random(n) < 0.01
+        base_i, base_j = np.divmod(np.arange(n)[reset], WIDTH)
+        data[reset, 0] = base_i
+        data[reset, 1] = base_j
+        rgb = pixmap[np.clip(data[:, 0], 0, HEIGHT - 1),
+                     np.clip(data[:, 1], 0, WIDTH - 1)]
+        image = np.where((alpha != 0)[:, None], rgb, 255).astype(np.uint8)
+        _ = image.reshape(HEIGHT, WIDTH, 3)
+    return CPU_FRAMES / (time.perf_counter() - start)
+
+
+def main():
+    record_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".bench_cpu_baseline.json")
+    cpu_fps = None
+    if os.path.exists(record_path):
+        try:
+            with open(record_path) as file:
+                cpu_fps = json.load(file)["cpu_fps"]
+        except Exception:
+            cpu_fps = None
+    if cpu_fps is None:
+        cpu_fps = bench_cpu_reference()
+        try:
+            with open(record_path, "w") as file:
+                json.dump({"cpu_fps": cpu_fps, "height": HEIGHT,
+                           "width": WIDTH, "timestamp": time.time()}, file)
+        except OSError:
+            pass
+    tpu_fps = bench_tpu()
+    print(json.dumps({
+        "metric": "1080p_e2e_fps_flow_warp_composite",
+        "value": round(tpu_fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(tpu_fps / cpu_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""GUI server integration: HTTP ping, websocket protocol, full GENERATE."""
+import asyncio
+import json
+import socket
+import time
+import urllib.request
+
+import cv2
+import numpy as np
+import pytest
+
+from transflow_tpu.gui.server import GuiServer
+
+
+def _free_port():
+    with socket.socket() as probe:
+        probe.bind(("127.0.0.1", 0))
+        return probe.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def server():
+    gui = GuiServer("127.0.0.1", _free_port(), _free_port())
+    gui.start(block=False, open_browser=False)
+    yield gui
+    gui.stop()
+
+
+@pytest.fixture(scope="module")
+def test_video(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("gui") / "video.avi")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                             (48, 32))
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+    for t in range(8):
+        writer.write(np.roll(base, t, axis=1))
+    writer.release()
+    return path
+
+
+def test_ping(server):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/ping", timeout=5) as resp:
+        assert resp.read() == b"PONG"
+
+
+def test_index_and_wss(server):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/", timeout=5) as resp:
+        body = resp.read().decode()
+        assert "transflow" in body
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/wss", timeout=5) as resp:
+        assert int(resp.read()) == server.ws_port
+
+
+def test_media_range(server, test_video):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/media?path={test_video}",
+        headers={"Range": "bytes=0-99"})
+    with urllib.request.urlopen(req, timeout=5) as resp:
+        assert resp.status == 206
+        assert len(resp.read()) == 100
+
+
+def test_generate_job(server, test_video, tmp_path):
+    import websockets.sync.client
+
+    out = str(tmp_path / "gui-out.avi")
+    config = {
+        "flow_path": test_video,
+        "output_path": out,
+        "vcodec": "mjpeg",
+        "pixmap_sources": [{"path": "noise", "layers": [0]}],
+        "seed": 1,
+    }
+    with websockets.sync.client.connect(
+            f"ws://127.0.0.1:{server.ws_port}") as ws:
+        ws.send("GENERATE " + json.dumps(config))
+        saw_preview = saw_status = done = False
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            message = ws.recv(timeout=60)
+            if message.startswith("PREVIEW"):
+                saw_preview = True
+            elif message.startswith("STATUS"):
+                saw_status = True
+                status = json.loads(message[7:])
+                assert status.get("error") in (None, "")
+            elif message.startswith("DONE"):
+                done = True
+                break
+            elif message.startswith("ERROR"):
+                raise AssertionError(message)
+        assert saw_preview and done
+        # 8 frames -> 7 flows
+        cap = cv2.VideoCapture(out)
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 7
+        cap.release()
+
+
+def test_interrupt_without_job(server):
+    import websockets.sync.client
+    with websockets.sync.client.connect(
+            f"ws://127.0.0.1:{server.ws_port}") as ws:
+        ws.send("INTERRUPT")  # no job: must not crash the server
+        ws.send("RELOAD")
+        assert ws.recv(timeout=10) == "RELOADING"

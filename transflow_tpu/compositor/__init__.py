@@ -80,8 +80,8 @@ class Compositor:
         pixmaps, frames = self._args()
         self.state = self._jit_update(
             self.state, jnp.asarray(flow, dtype=jnp.float32), pixmaps, sub,
-            frames)
+            frames, self.layer_params)
 
     def render(self) -> np.ndarray:
-        self.state, image = self._jit_render(self.state)
+        self.state, image = self._jit_render(self.state, self.layer_params)
         return np.asarray(image)

@@ -39,8 +39,14 @@ from ..ops.scatter import scatter_any
 # Layer parameter bundles (host-side, static per pipeline)
 # --------------------------------------------------------------------------
 
+@jax.tree_util.register_pytree_node_class
 class LayerParams:
-    """Static per-layer data: config flags plus device-constant mask arrays."""
+    """Per-layer parameters: config flags (static) + mask arrays (leaves).
+
+    Registered as a pytree so the mask arrays travel as jit ARGUMENTS: baking
+    (H, W) arrays into the program as closure constants sends XLA down a
+    pathological constant-handling path (hour-long compiles / 100x slower
+    gathers, observed on v5e)."""
 
     def __init__(self, cfg: LayerConfig, height: int, width: int,
                  intro_masks: Sequence[np.ndarray],
@@ -58,6 +64,21 @@ class LayerParams:
         self.intro_masks = tuple(jnp.asarray(m) for m in intro_masks)
         self.channel_counts = tuple(channel_counts)
         self.num_sources = len(self.intro_masks)
+
+    def tree_flatten(self):
+        children = (self.mask_alpha, self.mask_src, self.mask_dst,
+                    self.reset_mask, self.intro_masks)
+        aux = (self.cfg, self.height, self.width, self.channel_counts)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj.mask_alpha, obj.mask_src, obj.mask_dst, obj.reset_mask,
+         obj.intro_masks) = children
+        obj.cfg, obj.height, obj.width, obj.channel_counts = aux
+        obj.num_sources = len(obj.channel_counts)
+        return obj
 
     def base_source(self) -> jnp.ndarray:
         """Initial per-pixel source index: later sources overwrite earlier.
@@ -386,19 +407,19 @@ def build_compositor(layer_params: Sequence[LayerParams], height: int,
 
     Parity: transflow/compositor/compositor.py:17-53.
     """
-    bg = jnp.broadcast_to(
-        jnp.asarray(parse_color(background_color), dtype=jnp.uint8),
-        (height, width, 3))
+    bg_color = jnp.asarray(parse_color(background_color), dtype=jnp.uint8)
+    default_params = list(layer_params)
 
     def init_fn():
-        return [init_layer_state(p) for p in layer_params]
+        return [init_layer_state(p) for p in default_params]
 
-    def update_fn(state, flow, pixmaps, key, frame_numbers):
-        if not layer_params:
+    def update_fn(state, flow, pixmaps, key, frame_numbers, params_list=None):
+        params_list = default_params if params_list is None else params_list
+        if not params_list:
             return []
-        keys = jax.random.split(key, len(layer_params))
+        keys = jax.random.split(key, len(params_list))
         new_state = []
-        for idx, params in enumerate(layer_params):
+        for idx, params in enumerate(params_list):
             classname = params.cfg.classname
             if classname == "introduction":
                 st = update_introduction(
@@ -410,21 +431,24 @@ def build_compositor(layer_params: Sequence[LayerParams], height: int,
             new_state.append(st)
         return new_state
 
-    def render_fn(state):
-        image = bg
+    def render_fn(state, params_list=None):
+        params_list = default_params if params_list is None else params_list
+        image = jnp.broadcast_to(bg_color, (height, width, 3))
         new_state = []
-        for idx, params in enumerate(layer_params):
+        for idx, params in enumerate(params_list):
             st, rgba = render_layer(params, state[idx])
             new_state.append(st)
             image = jnp.where((rgba[..., 3] != 0)[..., None],
                               rgba[..., :3], image)
         return new_state, image
 
-    def step_fn(state, flow, pixmaps, key, frame_numbers, render=True):
-        state = update_fn(state, flow, pixmaps, key, frame_numbers)
+    def step_fn(state, flow, pixmaps, key, frame_numbers, render=True,
+                params_list=None):
+        state = update_fn(state, flow, pixmaps, key, frame_numbers,
+                          params_list)
         if not render:
             return state, None
-        return render_fn(state)
+        return render_fn(state, params_list)
 
     step_fn.init = init_fn
     step_fn.update = update_fn

@@ -125,23 +125,26 @@ class Engine:
                            p.num_sources for p in layer_params) else None)
         self.render_mode = render_mode
         wf, hf = width_factor, height_factor
+        # flow masks travel as jit args (not closure constants — see
+        # LayerParams docstring for why)
+        self._pp_masks = tuple(pp.mask for pp in postprocesses)
 
         def device_step(comp_state, raw_flows, t, pixmaps, key,
-                        frame_numbers):
-            processed = [pp(raw, t) for pp, raw in zip(postprocesses,
-                                                       raw_flows)]
+                        frame_numbers, params_list, pp_masks):
+            processed = [pp(raw, t, m) for pp, raw, m
+                         in zip(postprocesses, raw_flows, pp_masks)]
             flow = merge(processed)
             if wf != 1 or hf != 1:
                 flow = upscale_flow(flow, wf, hf)
             comp_state = comp_step.update(comp_state, flow, pixmaps, key,
-                                          frame_numbers)
+                                          frame_numbers, params_list)
             if render_mode == "flow":
                 frame = render2d(flow, cfg.render_scale, cfg.render_colors)
             elif render_mode == "magnitude":
                 frame = render1d(flow_magnitude(flow), cfg.render_scale,
                                  cfg.render_colors, cfg.render_binary)
             elif render_mode == "compositor":
-                comp_state, frame = comp_step.render(comp_state)
+                comp_state, frame = comp_step.render(comp_state, params_list)
             else:
                 frame = jnp.zeros((out_height, out_width, 3), dtype=jnp.uint8)
             return comp_state, frame, flow
@@ -161,7 +164,7 @@ class Engine:
         self.key, sub = jax.random.split(self.key)
         self.comp_state, frame, flow = self._device_step(
             self.comp_state, raw_flows, jnp.float32(t), pixmaps, sub,
-            frame_numbers)
+            frame_numbers, self.layer_params, self._pp_masks)
         return frame, flow
 
     # ------------------------------------------------------------------

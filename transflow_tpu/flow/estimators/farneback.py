@@ -167,6 +167,10 @@ def farneback(prev_gray, next_gray, prev_flow=None, *, pyr_scale: float = 0.5,
             img1, img2 = prev, nxt
         poly1 = poly_expansion(img1, poly_n, poly_sigma)
         poly2 = poly_expansion(img2, poly_n, poly_sigma)
-        for _ in range(iterations):
-            flow = _update_flow(poly1, poly2, flow, winsize, use_gaussian)
+        # fori_loop keeps the traced program small: the update body is
+        # compiled once per level instead of ``iterations`` times
+        flow = jax.lax.fori_loop(
+            0, iterations,
+            lambda _, f: _update_flow(poly1, poly2, f, winsize, use_gaussian),
+            flow)
     return flow

@@ -55,20 +55,29 @@ def make_postprocess(flow_filters: Sequence[FlowFilter] | str | None = None,
                      mask: np.ndarray | None = None,
                      kernel: np.ndarray | None = None,
                      direction: Direction = Direction.BACKWARD):
-    """Build the fused post-process fn(flow, t) -> flow for a pipeline."""
+    """Build the fused post-process fn(flow, t[, mask]) -> flow.
+
+    The (H, W) float mask travels as a call argument, not a closure constant
+    (large embedded constants trigger pathological XLA compiles on TPU);
+    ``fn.mask`` carries the default device array and ``fn.has_mask`` tells
+    callers whether to pass it."""
     if isinstance(flow_filters, str):
         flow_filters = FlowFilter.parse_many(flow_filters)
     filters = tuple(flow_filters or ())
     mask_arr = None if mask is None else jnp.asarray(mask, dtype=jnp.float32)
+    has_mask = mask_arr is not None
+    # convolution kernels are small (a few hundred taps): safe as constants
     kernel_arr = None if kernel is None else jnp.asarray(kernel,
                                                          dtype=jnp.float32)
 
-    def postprocess(flow, t):
+    def postprocess(flow, t, mask=None):
         flow = flow.astype(jnp.float32)
         for flt in filters:
             flow = flt(flow, t)
-        if mask_arr is not None:
-            m = mask_arr[..., None] if mask_arr.ndim == 2 else mask_arr
+        if has_mask:
+            if mask is None:
+                mask = mask_arr
+            m = mask[..., None] if mask.ndim == 2 else mask
             flow = flow * m
         if kernel_arr is not None:
             fx = conv2d_same(flow[..., 0], kernel_arr)
@@ -78,4 +87,6 @@ def make_postprocess(flow_filters: Sequence[FlowFilter] | str | None = None,
             flow = forward_to_backward(flow)
         return clip_to_frame(flow)
 
+    postprocess.mask = mask_arr
+    postprocess.has_mask = has_mask
     return postprocess

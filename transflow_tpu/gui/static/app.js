@@ -1,0 +1,264 @@
+/* transflow-tpu web client.
+ * Mirrors the websocket protocol of the server (gui/server.py):
+ *   -> GENERATE {config} | INTERRUPT | RELOAD
+ *   <- STATUS {json} | DONE | PREVIEW url | ERROR msg
+ * Config edits persist in localStorage.
+ */
+"use strict";
+
+const $ = (id) => document.getElementById(id);
+const MAX_LAYERS = 5;
+
+let ws = null;
+let pixmaps = [];
+let layers = [];
+
+/* ------------------------------------------------------------------ */
+/* state persistence                                                    */
+/* ------------------------------------------------------------------ */
+
+function saveState() {
+  const state = { fields: {}, pixmaps, layers };
+  for (const el of document.querySelectorAll("input, select")) {
+    if (el.closest("#pixmaps") || el.closest("#layers")) continue;
+    state.fields[el.id] = el.type === "checkbox" ? el.checked : el.value;
+  }
+  localStorage.setItem("transflow-tpu", JSON.stringify(state));
+}
+
+function loadState() {
+  const raw = localStorage.getItem("transflow-tpu");
+  if (!raw) { pixmaps = [newPixmap()]; layers = [newLayer(0)]; return; }
+  try {
+    const state = JSON.parse(raw);
+    for (const [id, value] of Object.entries(state.fields || {})) {
+      const el = $(id);
+      if (!el) continue;
+      if (el.type === "checkbox") el.checked = value; else el.value = value;
+    }
+    pixmaps = state.pixmaps && state.pixmaps.length ? state.pixmaps
+                                                    : [newPixmap()];
+    layers = state.layers && state.layers.length ? state.layers
+                                                 : [newLayer(0)];
+  } catch (e) { pixmaps = [newPixmap()]; layers = [newLayer(0)]; }
+}
+
+/* ------------------------------------------------------------------ */
+/* pixmap / layer editors                                               */
+/* ------------------------------------------------------------------ */
+
+function newPixmap() {
+  return { path: "noise", layers: "0", introduction_path: "",
+           seek_time: "", repeat: 1 };
+}
+
+function newLayer(index) {
+  return { index, classname: "moveref", reset_mode: "off",
+           reset_factor: 0.1, mask_alpha: "",
+           moving_pixels_leave_empty_spot: false, introduce_once: false };
+}
+
+function renderPixmaps() {
+  const host = $("pixmaps");
+  host.innerHTML = "";
+  pixmaps.forEach((p, i) => {
+    const div = document.createElement("div");
+    div.className = "item";
+    div.innerHTML = `
+      <div class="row">
+        <label>Source <input data-k="path" placeholder="image/video path, color:red, noise…"></label>
+        <label>Layers <input data-k="layers" size="4" placeholder="0,1"></label>
+        <button class="mini danger" data-del>&times;</button>
+      </div>
+      <div class="row">
+        <label>Introduction <input data-k="introduction_path" placeholder="mask DSL"></label>
+        <label>Seek <input data-k="seek_time" size="8"></label>
+        <label>Repeat <input data-k="repeat" type="number" min="0" size="3"></label>
+      </div>`;
+    for (const input of div.querySelectorAll("[data-k]")) {
+      input.value = p[input.dataset.k];
+      input.addEventListener("input", () => {
+        p[input.dataset.k] = input.value;
+        saveState();
+      });
+    }
+    div.querySelector("[data-del]").addEventListener("click", () => {
+      pixmaps.splice(i, 1);
+      renderPixmaps();
+      saveState();
+    });
+    host.appendChild(div);
+  });
+}
+
+function renderLayers() {
+  const host = $("layers");
+  host.innerHTML = "";
+  layers.forEach((layer, i) => {
+    const div = document.createElement("div");
+    div.className = "item";
+    div.innerHTML = `
+      <div class="row">
+        <label>Index <input data-k="index" type="number" size="2"></label>
+        <label>Class
+          <select data-k="classname">
+            <option>moveref</option><option>introduction</option>
+            <option>static</option><option>sum</option>
+          </select></label>
+        <label>Reset
+          <select data-k="reset_mode">
+            <option>off</option><option>random</option>
+            <option>constant</option><option>linear</option>
+          </select></label>
+        <label>Factor <input data-k="reset_factor" type="number" step="0.01" size="5"></label>
+        <button class="mini danger" data-del>&times;</button>
+      </div>
+      <div class="row">
+        <label>Alpha mask <input data-k="mask_alpha" placeholder="mask DSL"></label>
+        <label><input data-k="moving_pixels_leave_empty_spot" type="checkbox"> leave empty</label>
+        <label><input data-k="introduce_once" type="checkbox"> introduce once</label>
+      </div>`;
+    for (const input of div.querySelectorAll("[data-k]")) {
+      const key = input.dataset.k;
+      if (input.type === "checkbox") input.checked = !!layer[key];
+      else input.value = layer[key];
+      input.addEventListener("input", () => {
+        layer[key] = input.type === "checkbox" ? input.checked : input.value;
+        saveState();
+      });
+    }
+    div.querySelector("[data-del]").addEventListener("click", () => {
+      layers.splice(i, 1);
+      renderLayers();
+      saveState();
+    });
+    host.appendChild(div);
+  });
+}
+
+/* ------------------------------------------------------------------ */
+/* config assembly (must mirror Config.fromdict keys)                  */
+/* ------------------------------------------------------------------ */
+
+function buildConfig() {
+  const value = (id) => $(id).value.trim() || null;
+  const config = {
+    flow_path: value("flow_path"),
+    direction: $("direction").value,
+    seek_time: value("seek_time"),
+    duration_time: value("duration_time"),
+    repeat: parseInt($("repeat").value || "1", 10),
+    flow_filters: value("flow_filters"),
+    mask_path: value("mask_path"),
+    compositor_background: value("background") || "#ffffff",
+    output_path: value("output_path"),
+    view_flow: $("view_flow").checked,
+    view_flow_magnitude: $("view_flow_magnitude").checked,
+    pixmap_sources: pixmaps.map((p) => ({
+      path: p.path,
+      layers: String(p.layers).split(",").map(s => parseInt(s, 10))
+                 .filter(n => !isNaN(n)),
+      introduction_path: p.introduction_path || null,
+      seek_time: p.seek_time || null,
+      repeat: parseInt(p.repeat || "1", 10),
+    })),
+    layers: layers.slice(0, MAX_LAYERS).map((l) => ({
+      index: parseInt(l.index, 10),
+      classname: l.classname,
+      reset_mode: l.reset_mode,
+      reset_random_factor: parseFloat(l.reset_factor),
+      reset_constant_step: parseFloat(l.reset_factor),
+      reset_linear_factor: parseFloat(l.reset_factor),
+      mask_alpha: l.mask_alpha || null,
+      moving_pixels_leave_empty_spot: !!l.moving_pixels_leave_empty_spot,
+      introduce_once: !!l.introduce_once,
+    })),
+  };
+  const seed = value("seed");
+  if (seed !== null) config.seed = parseInt(seed, 10);
+  return config;
+}
+
+/* ------------------------------------------------------------------ */
+/* websocket client with reconnect                                      */
+/* ------------------------------------------------------------------ */
+
+async function connect() {
+  const badge = $("connection");
+  try {
+    const port = await (await fetch("/wss")).text();
+    ws = new WebSocket(`ws://${location.hostname}:${port.trim()}`);
+    ws.onopen = () => { badge.textContent = "connected";
+                        badge.className = "badge ok"; };
+    ws.onclose = () => { badge.textContent = "disconnected";
+                         badge.className = "badge err";
+                         setTimeout(connect, 2000); };
+    ws.onmessage = (event) => onMessage(event.data);
+  } catch (e) {
+    badge.textContent = "server unreachable";
+    badge.className = "badge err";
+    setTimeout(connect, 2000);
+  }
+}
+
+function onMessage(message) {
+  const status = $("status");
+  if (message.startsWith("STATUS ")) {
+    const s = JSON.parse(message.slice(7));
+    if (s.error) { status.textContent = `error: ${s.error}`; return; }
+    const pct = s.total ? Math.round(100 * s.cursor / s.total) : null;
+    $("progress").style.width = (pct ?? 30) + "%";
+    status.textContent = `frame ${s.cursor}` +
+      (s.total ? ` / ${s.total}` : "") +
+      ` — ${s.elapsed.toFixed(1)}s`;
+  } else if (message.startsWith("PREVIEW ")) {
+    $("preview").src = message.slice(8).trim() + "?" + Date.now();
+  } else if (message.startsWith("DONE")) {
+    $("generate").disabled = false;
+    $("interrupt").disabled = true;
+    $("progress").style.width = "100%";
+    status.textContent = "done " + message.slice(4).trim();
+  } else if (message.startsWith("ERROR")) {
+    $("generate").disabled = false;
+    $("interrupt").disabled = true;
+    status.textContent = message;
+  }
+}
+
+/* ------------------------------------------------------------------ */
+/* wiring                                                               */
+/* ------------------------------------------------------------------ */
+
+window.addEventListener("DOMContentLoaded", () => {
+  loadState();
+  renderPixmaps();
+  renderLayers();
+  for (const el of document.querySelectorAll("input, select")) {
+    el.addEventListener("input", saveState);
+  }
+  $("add_pixmap").addEventListener("click", () => {
+    pixmaps.push(newPixmap());
+    renderPixmaps();
+    saveState();
+  });
+  $("add_layer").addEventListener("click", () => {
+    if (layers.length >= MAX_LAYERS) return;
+    layers.push(newLayer(layers.length));
+    renderLayers();
+    saveState();
+  });
+  $("generate").addEventListener("click", () => {
+    if (!ws || ws.readyState !== WebSocket.OPEN) return;
+    const config = buildConfig();
+    if (!config.flow_path) { $("status").textContent = "flow source required"; return; }
+    ws.send("GENERATE " + JSON.stringify(config));
+    $("generate").disabled = true;
+    $("interrupt").disabled = false;
+    $("progress").style.width = "0%";
+    $("status").textContent = "starting…";
+  });
+  $("interrupt").addEventListener("click", () => {
+    if (ws && ws.readyState === WebSocket.OPEN) ws.send("INTERRUPT");
+  });
+  connect();
+});

@@ -1,0 +1,113 @@
+"""Multi-chip scaling: device mesh + sharding layout for the pipeline step.
+
+The reference's only parallelism is a single-host process pipeline
+(transflow/pipeline.py:56-136, SURVEY §2.3) — there is nothing to port.
+The TPU-native scale-out axes are:
+
+* ``stream`` (data parallelism): independent video streams / frame batches —
+  each device group runs a full pipeline replica; zero communication.
+* ``space`` (spatial parallelism): the H dimension of every (H, W[, C])
+  array in the recurrence is sharded across devices. Stencil ops (flow
+  estimators, kernel convolutions) need halo exchange and the movement
+  gathers may cross shard boundaries — XLA inserts the collectives (ICI
+  halo collective-permutes / all-gathers) under jit with sharding
+  constraints.
+
+Temporal recurrence stays sequential (lax.scan); parallelism is within-frame
+and across streams, exactly as SURVEY §2.3 prescribes.
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, stream_axis: int | None = None):
+    """Build a ('stream', 'space') mesh over the available devices.
+
+    ``stream_axis``: how many ways to split across independent streams
+    (defaults to 2 when n_devices is an even number > 1, else 1); the
+    remaining factor shards space."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    if stream_axis is None:
+        stream_axis = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
+    space_axis = n_devices // stream_axis
+    grid = np.asarray(devices).reshape(stream_axis, space_axis)
+    return Mesh(grid, axis_names=("stream", "space"))
+
+
+def state_spec(leaf_ndim: int) -> P:
+    """State leaves carry a leading stream dim then H: (S, H, ...)."""
+    if leaf_ndim < 2:
+        return P("stream") if leaf_ndim == 1 else P()
+    return P("stream", "space", *([None] * (leaf_ndim - 2)))
+
+
+def frames_spec(leaf_ndim: int) -> P:
+    """Frame chunks: (S, K, H, W)."""
+    return P("stream", None, "space", *([None] * (leaf_ndim - 3)))
+
+
+def pixmap_spec(leaf_ndim: int) -> P:
+    """Pixmaps are replicated across streams, sharded over H: (H, W, C)."""
+    return P("space", *([None] * (leaf_ndim - 1)))
+
+
+def shard_model_inputs(mesh: Mesh, state, grays, pixmaps, keys):
+    """device_put the scan inputs with their canonical shardings."""
+    put = jax.device_put
+    state = jax.tree.map(
+        lambda x: put(jnp.asarray(x),
+                      NamedSharding(mesh, state_spec(jnp.asarray(x).ndim))),
+        state)
+    grays = put(jnp.asarray(grays),
+                NamedSharding(mesh, frames_spec(grays.ndim)))
+    pixmaps = jax.tree.map(
+        lambda x: put(jnp.asarray(x),
+                      NamedSharding(mesh, pixmap_spec(jnp.asarray(x).ndim))),
+        pixmaps)
+    keys = put(keys, NamedSharding(mesh, P("stream")))
+    return state, grays, pixmaps, keys
+
+
+def sharded_scan(model, mesh: Mesh):
+    """Jit the model's chunk scan with stream + spatial sharding.
+
+    Returns fn(state, grays, pixmaps, t0, keys) -> (state, rgbs) where
+    state/grays carry a leading stream-batch dim; the body is
+    vmap(model.scan) over streams with sharding constraints pinning the
+    layout (stream over 'stream', H over 'space')."""
+
+    def constrained(tree, spec_fn):
+        return jax.tree.map(
+            lambda leaf: jax.lax.with_sharding_constraint(
+                leaf, NamedSharding(mesh, spec_fn(leaf.ndim))), tree)
+
+    def params_spec(leaf_ndim: int) -> P:
+        if leaf_ndim < 2:
+            return P()
+        return pixmap_spec(leaf_ndim)
+
+    @jax.jit
+    def run(state, grays, pixmaps, t0, keys, params_list, pp_mask):
+        state = constrained(state, state_spec)
+        grays = constrained(grays, frames_spec)
+        pixmaps = constrained(pixmaps, pixmap_spec)
+        params_list = constrained(params_list, params_spec)
+        new_state, rgbs = jax.vmap(
+            lambda s, g, k: model.scan(s, g, pixmaps, t0, k, params_list,
+                                       pp_mask)
+        )(state, grays, keys)
+        new_state = constrained(new_state, state_spec)
+        rgbs = constrained(rgbs, frames_spec)
+        return new_state, rgbs
+
+    def wrapped(state, grays, pixmaps, t0, keys):
+        return run(state, grays, pixmaps, t0, keys, model.layer_params,
+                   model.pp_mask)
+
+    return wrapped
