@@ -407,7 +407,9 @@ def build_compositor(layer_params: Sequence[LayerParams], height: int,
 
     Parity: transflow/compositor/compositor.py:17-53.
     """
-    bg_color = jnp.asarray(parse_color(background_color), dtype=jnp.uint8)
+    # numpy, not jnp: closure-captured device buffers trigger a pathological
+    # TPU slow path (~10,000x; see LayerParams docstring)
+    bg_color = np.asarray(parse_color(background_color), dtype=np.uint8)
     default_params = list(layer_params)
 
     def init_fn():

@@ -126,8 +126,10 @@ class Engine:
         self.render_mode = render_mode
         wf, hf = width_factor, height_factor
         # flow masks travel as jit args (not closure constants — see
-        # LayerParams docstring for why)
-        self._pp_masks = tuple(pp.mask for pp in postprocesses)
+        # LayerParams docstring for why); device_put once, reused every frame
+        self._pp_masks = tuple(
+            None if pp.mask is None else jax.device_put(pp.mask)
+            for pp in postprocesses)
 
         def device_step(comp_state, raw_flows, t, pixmaps, key,
                         frame_numbers, params_list, pp_masks):

@@ -15,14 +15,20 @@ import jax.numpy as jnp
 
 from ...ops.image import correlate2d_reflect, separable_correlate
 
-# cv2.GaussianBlur((5,5), sigma=0) uses the fixed binomial 5-tap kernel
-_K5 = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+import numpy as np
 
-_X_KERNEL = jnp.asarray([[1.0, -1.0], [1.0, -1.0]]) * 0.25
-_Y_KERNEL = jnp.asarray([[1.0, 1.0], [-1.0, -1.0]]) * 0.25
-_T_KERNEL = jnp.ones((2, 2)) * 0.25
-_AVG_KERNEL = jnp.asarray([[1.0, 2.0, 1.0], [2.0, 0.0, 2.0],
-                           [1.0, 2.0, 1.0]]) / 12.0
+# Kernels are NUMPY constants on purpose: module-level jnp arrays are
+# concrete device buffers, and closure-capturing a device buffer into a
+# jitted program triggers a pathological slow path on this TPU backend
+# (~10,000x; measured). numpy constants bake in as in-trace literals.
+# cv2.GaussianBlur((5,5), sigma=0) uses the fixed binomial 5-tap kernel
+_K5 = np.asarray([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
+
+_X_KERNEL = np.asarray([[1.0, -1.0], [1.0, -1.0]], np.float32) * 0.25
+_Y_KERNEL = np.asarray([[1.0, 1.0], [-1.0, -1.0]], np.float32) * 0.25
+_T_KERNEL = np.ones((2, 2), np.float32) * 0.25
+_AVG_KERNEL = np.asarray([[1.0, 2.0, 1.0], [2.0, 0.0, 2.0],
+                          [1.0, 2.0, 1.0]], np.float32) / 12.0
 
 
 def _blur5(image):

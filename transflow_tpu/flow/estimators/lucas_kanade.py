@@ -15,8 +15,12 @@ import jax.numpy as jnp
 from ...ops.image import (bilinear_sample, box_filter, downsample2x,
                           separable_correlate)
 
-_SCHARR = jnp.asarray([-3.0, 0.0, 3.0]) / 32.0
-_SCHARR_SMOOTH = jnp.asarray([3.0, 10.0, 3.0])
+import numpy as np
+
+# numpy on purpose — see horn_schunck.py: module-level device buffers
+# captured by jit trigger a pathological TPU slow path
+_SCHARR = np.asarray([-3.0, 0.0, 3.0], np.float32) / 32.0
+_SCHARR_SMOOTH = np.asarray([3.0, 10.0, 3.0], np.float32)
 
 
 def _scharr(image, axis: int):

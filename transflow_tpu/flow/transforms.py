@@ -64,11 +64,14 @@ def make_postprocess(flow_filters: Sequence[FlowFilter] | str | None = None,
     if isinstance(flow_filters, str):
         flow_filters = FlowFilter.parse_many(flow_filters)
     filters = tuple(flow_filters or ())
-    mask_arr = None if mask is None else jnp.asarray(mask, dtype=jnp.float32)
+    # numpy, not jnp: closure-captured device buffers trigger a pathological
+    # TPU slow path (see compositor LayerParams docstring); numpy closures
+    # bake in as in-trace literals, and callers pass the (large) mask as a
+    # device argument anyway
+    mask_arr = None if mask is None else np.asarray(mask, dtype=np.float32)
     has_mask = mask_arr is not None
-    # convolution kernels are small (a few hundred taps): safe as constants
-    kernel_arr = None if kernel is None else jnp.asarray(kernel,
-                                                         dtype=jnp.float32)
+    kernel_arr = None if kernel is None else np.asarray(kernel,
+                                                        dtype=np.float32)
 
     def postprocess(flow, t, mask=None):
         flow = flow.astype(jnp.float32)

@@ -74,7 +74,8 @@ class FlowTransferModel:
                 return estimator(left, right, prev_flow, **estimator_kwargs)
             return estimator(left, right, **estimator_kwargs)
 
-        self.pp_mask = postprocess.mask
+        self.pp_mask = (None if postprocess.mask is None
+                        else jax.device_put(postprocess.mask))
 
         def step(state, gray, pixmaps, t, key, frame_numbers, params_list,
                  pp_mask=None):
@@ -82,9 +83,6 @@ class FlowTransferModel:
             flow = merge([postprocess(raw, t, pp_mask)])
             if wf != 1 or hf != 1:
                 flow = upscale_flow(flow, wf, hf)
-            # keep XLA from fusing the estimator into the compositor's
-            # gather index computation (recomputes flow per element)
-            flow = jax.lax.optimization_barrier(flow)
             comp = self._comp_step.update(state["comp"], flow, pixmaps, key,
                                           frame_numbers, params_list)
             comp, rgb = self._comp_step.render(comp, params_list)
