@@ -1,0 +1,168 @@
+"""LiteFlowNet: correlation-op oracle, architecture shapes, weight mapping."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from transflow_tpu.ops.correlation import correlation7x7
+
+
+class TestCorrelation:
+
+    def oracle(self, f1, f2, stride):
+        h, w, c = f1.shape
+        pad = 3 * stride
+        f2p = np.pad(f2, ((pad, pad), (pad, pad), (0, 0)))
+        oh, ow = h // stride, w // stride
+        out = np.zeros((oh, ow, 49), np.float32)
+        for oy in range(oh):
+            for ox in range(ow):
+                y, x = oy * stride, ox * stride
+                for dy in range(-3, 4):
+                    for dx in range(-3, 4):
+                        ch = (dy + 3) * 7 + (dx + 3)
+                        patch = f2p[y + dy * stride + pad,
+                                    x + dx * stride + pad]
+                        out[oy, ox, ch] = np.mean(f1[y, x] * patch)
+        return out
+
+    def test_stride1(self):
+        rng = np.random.default_rng(0)
+        f1 = rng.normal(size=(10, 12, 8)).astype(np.float32)
+        f2 = rng.normal(size=(10, 12, 8)).astype(np.float32)
+        got = np.asarray(correlation7x7(jnp.asarray(f1), jnp.asarray(f2)))
+        np.testing.assert_allclose(got, self.oracle(f1, f2, 1), atol=1e-5)
+
+    def test_stride2(self):
+        rng = np.random.default_rng(1)
+        f1 = rng.normal(size=(12, 16, 4)).astype(np.float32)
+        f2 = rng.normal(size=(12, 16, 4)).astype(np.float32)
+        got = np.asarray(correlation7x7(jnp.asarray(f1), jnp.asarray(f2),
+                                        stride=2))
+        np.testing.assert_allclose(got, self.oracle(f1, f2, 2), atol=1e-5)
+
+    def test_self_correlation_center_channel(self):
+        rng = np.random.default_rng(2)
+        f = rng.normal(size=(16, 16, 8)).astype(np.float32)
+        corr = np.asarray(correlation7x7(jnp.asarray(f), jnp.asarray(f)))
+        center = 3 * 7 + 3
+        np.testing.assert_allclose(corr[..., center],
+                                   np.mean(f * f, axis=-1), atol=1e-5)
+
+
+class TestNetwork:
+
+    def test_forward_shapes(self):
+        from transflow_tpu.flow.estimators.liteflownet import liteflownet
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, 256, (70, 90, 3), dtype=np.uint8)  # not /32
+        b = rng.integers(0, 256, (70, 90, 3), dtype=np.uint8)
+        flow = liteflownet(a, b, allow_random=True)
+        assert flow.shape == (70, 90, 2)
+        assert flow.dtype == jnp.float32
+
+    def test_grayscale_input(self):
+        from transflow_tpu.flow.estimators.liteflownet import liteflownet
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+        flow = liteflownet(a, a, allow_random=True)
+        assert flow.shape == (64, 64, 2)
+
+    def test_weight_conversion_mapping(self):
+        """A synthetic torch-layout state dict must map onto the module tree
+        exactly (all leaves consumed and shapes matching flax init)."""
+        torch = pytest.importorskip("torch")
+        from transflow_tpu.flow.estimators.liteflownet import (
+            LiteFlowNet, convert_torch_state)
+
+        # build a synthetic state dict with the sniklaus layout
+        def conv(i, o, k):
+            if isinstance(k, int):
+                k = (k, k)
+            return {"weight": torch.zeros(o, i, *k),
+                    "bias": torch.zeros(o)}
+
+        state = {}
+        def put(prefix, d):
+            for key, value in d.items():
+                state[f"{prefix}.{key}"] = value
+        put("netFeatures.netOne.0", conv(3, 32, 7))
+        put("netFeatures.netTwo.0", conv(32, 32, 3))
+        put("netFeatures.netTwo.2", conv(32, 32, 3))
+        put("netFeatures.netTwo.4", conv(32, 32, 3))
+        put("netFeatures.netThr.0", conv(32, 64, 3))
+        put("netFeatures.netThr.2", conv(64, 64, 3))
+        put("netFeatures.netFou.0", conv(64, 96, 3))
+        put("netFeatures.netFou.2", conv(96, 96, 3))
+        put("netFeatures.netFiv.0", conv(96, 128, 3))
+        put("netFeatures.netSix.0", conv(128, 192, 3))
+        kernels = {2: 7, 3: 5, 4: 5, 5: 3, 6: 3}
+        dist_ch = {2: 49, 3: 25, 4: 25, 5: 9, 6: 9}
+        feat_ch = {2: 32, 3: 64, 4: 96, 5: 128, 6: 192}
+        sub_in = {2: 130, 3: 130, 4: 194, 5: 258, 6: 386}
+        reg_in = {2: 131, 3: 131, 4: 131, 5: 131, 6: 195}
+        for idx, lvl in enumerate((2, 3, 4, 5, 6)):
+            k = kernels[lvl]
+            if lvl == 2:
+                put(f"netMatching.{idx}.netFeat.0", conv(32, 64, 1))
+                put(f"netSubpixel.{idx}.netFeat.0", conv(32, 64, 1))
+            if lvl != 6:
+                state[f"netMatching.{idx}.netUpflow.weight"] = \
+                    torch.zeros(2, 1, 4, 4)
+            if lvl < 4:
+                state[f"netMatching.{idx}.netUpcorr.weight"] = \
+                    torch.zeros(49, 1, 4, 4)
+            put(f"netMatching.{idx}.netMain.0", conv(49, 128, 3))
+            put(f"netMatching.{idx}.netMain.2", conv(128, 64, 3))
+            put(f"netMatching.{idx}.netMain.4", conv(64, 32, 3))
+            put(f"netMatching.{idx}.netMain.6", conv(32, 2, k))
+            put(f"netSubpixel.{idx}.netMain.0", conv(sub_in[lvl], 128, 3))
+            put(f"netSubpixel.{idx}.netMain.2", conv(128, 64, 3))
+            put(f"netSubpixel.{idx}.netMain.4", conv(64, 32, 3))
+            put(f"netSubpixel.{idx}.netMain.6", conv(32, 2, k))
+            if lvl < 5:
+                put(f"netRegularization.{idx}.netFeat.0",
+                    conv(feat_ch[lvl], 128, 1))
+            put(f"netRegularization.{idx}.netMain.0", conv(reg_in[lvl], 128, 3))
+            put(f"netRegularization.{idx}.netMain.2", conv(128, 128, 3))
+            put(f"netRegularization.{idx}.netMain.4", conv(128, 64, 3))
+            put(f"netRegularization.{idx}.netMain.6", conv(64, 64, 3))
+            put(f"netRegularization.{idx}.netMain.8", conv(64, 32, 3))
+            put(f"netRegularization.{idx}.netMain.10", conv(32, 32, 3))
+            if lvl >= 5:
+                put(f"netRegularization.{idx}.netDist.0",
+                    conv(32, dist_ch[lvl], k))
+            else:
+                state[f"netRegularization.{idx}.netDist.0.weight"] = \
+                    torch.zeros(dist_ch[lvl], 32, k, 1)
+                state[f"netRegularization.{idx}.netDist.0.bias"] = \
+                    torch.zeros(dist_ch[lvl])
+                state[f"netRegularization.{idx}.netDist.1.weight"] = \
+                    torch.zeros(dist_ch[lvl], dist_ch[lvl], 1, k)
+                state[f"netRegularization.{idx}.netDist.1.bias"] = \
+                    torch.zeros(dist_ch[lvl])
+            put(f"netRegularization.{idx}.netScaleX", conv(dist_ch[lvl], 1, 1))
+            put(f"netRegularization.{idx}.netScaleY", conv(dist_ch[lvl], 1, 1))
+
+        state = {k: v.numpy() for k, v in state.items()}
+        converted = convert_torch_state(state)
+
+        # reference structure from a random init
+        model = LiteFlowNet()
+        dummy = jnp.zeros((64, 64, 3), jnp.float32)
+        expected = model.init(jax.random.key(0), dummy, dummy)
+
+        exp_flat = jax.tree.leaves_with_path(expected)
+        got_flat = dict(jax.tree_util.tree_flatten_with_path(converted)[0])
+        exp_paths = {jax.tree_util.keystr(p): leaf.shape
+                     for p, leaf in exp_flat}
+        got_paths = {jax.tree_util.keystr(p): leaf.shape
+                     for p, leaf in got_flat.items()} if isinstance(
+                         got_flat, dict) else {}
+        got_paths = {jax.tree_util.keystr(p): leaf.shape
+                     for p, leaf in
+                     jax.tree_util.tree_flatten_with_path(converted)[0]}
+        assert set(exp_paths) == set(got_paths), (
+            sorted(set(exp_paths) ^ set(got_paths))[:10])
+        for path, shape in exp_paths.items():
+            assert got_paths[path] == shape, (path, got_paths[path], shape)

@@ -1,0 +1,391 @@
+"""LiteFlowNet (Hui et al., CVPR'18) in Flax for TPU inference.
+
+Parity reference: transflow/flow/methods/liteflownet.py — a torch+cupy
+implementation (adapted from sniklaus/pytorch-liteflownet) whose cost-volume
+correlation is a raw CUDA kernel (:48-116). Here:
+
+* the network is flax.linen, NHWC float32, jitted end-to-end;
+* the 7x7 cost-volume correlation is expressed as 49 shifted elementwise
+  products + channel reductions (ops/correlation.py) — XLA fuses it into
+  VPU/MXU work; no custom CUDA;
+* weights convert from the published checkpoint
+  (network-default.pytorch, torch state_dict) via ``load_torch_weights`` —
+  this environment has no network egress, so the checkpoint must be provided
+  on disk (TRANSFLOW_LITEFLOWNET_WEIGHTS or an explicit path); without
+  weights the estimator raises, or runs randomly initialized when
+  ``allow_random`` is set (shape/integration tests).
+"""
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...ops.correlation import correlation7x7
+from ...ops.image import bilinear_resize
+
+_LEVELS = (2, 3, 4, 5, 6)
+# per-level constants, indexed by the absolute level number
+_FLT_BACKWARP = {2: 10.0, 3: 5.0, 4: 2.5, 5: 1.25, 6: 0.625}
+_KERNEL = {2: 7, 3: 5, 4: 5, 5: 3, 6: 3}
+_PAD = {2: 3, 3: 2, 4: 2, 5: 1, 6: 1}
+_DIST_CH = {2: 49, 3: 25, 4: 25, 5: 9, 6: 9}
+_FEAT_CH = {2: 32, 3: 64, 4: 96, 5: 128, 6: 192}
+_SUBPIXEL_IN = {2: 130, 3: 130, 4: 194, 5: 258, 6: 386}
+_REG_IN = {2: 131, 3: 131, 4: 131, 5: 131, 6: 195}
+
+_MEAN_ONE = np.asarray([0.411618, 0.434631, 0.454253], np.float32)
+_MEAN_TWO = np.asarray([0.410782, 0.433645, 0.452793], np.float32)
+
+
+def _leaky(x):
+    return nn.leaky_relu(x, negative_slope=0.1)
+
+
+def _conv(features, kernel, stride=1, pad=None, name=None):
+    if pad is None:
+        pad = kernel // 2 if isinstance(kernel, int) else None
+    if isinstance(kernel, int):
+        kernel = (kernel, kernel)
+    if isinstance(pad, int):
+        pad = ((pad, pad), (pad, pad))
+    return nn.Conv(features, kernel, strides=(stride, stride), padding=pad,
+                   name=name)
+
+
+def backwarp(image, flow):
+    """Bilinear warp with zero padding, align_corners semantics.
+
+    Parity: liteflownet.py:398-412 (grid_sample). ``flow`` is in pixels."""
+    h, w = image.shape[-3], image.shape[-2]
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sx = xx + flow[..., 0]
+    sy = yy + flow[..., 1]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = sx - x0
+    wy = sy - y0
+    out = 0.0
+    for dy, wy_k in ((0, 1 - wy), (1, wy)):
+        for dx, wx_k in ((0, 1 - wx), (1, wx)):
+            xi = x0 + dx
+            yi = y0 + dy
+            inb = ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1))
+            xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+            yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+            tap = image[yi_c, xi_c]
+            weight = (wy_k * wx_k * inb.astype(jnp.float32))[..., None]
+            out = out + tap * weight
+    return out
+
+
+def _bilinear_deconv_init(key, shape, dtype=jnp.float32):
+    """Bilinear-upsampling taps — sane default when running weightless."""
+    taps = np.outer([1, 3, 3, 1], [1, 3, 3, 1]).astype(np.float32) / 16.0
+    return jnp.broadcast_to(jnp.asarray(taps)[..., None], shape).astype(dtype)
+
+
+def _upsample2x_groupdeconv(x, kernel):
+    """torch ConvTranspose2d(k=4, s=2, p=1, groups=C, bias=False) on NHWC.
+
+    ``kernel``: (4, 4, C) per-channel taps (torch weight[:, 0] transposed)."""
+    c = x.shape[-1]
+    rhs = kernel[::-1, ::-1, :]  # flip for the conv==convT equivalence
+    rhs = rhs[:, :, None, :]  # (4, 4, 1, C): HWIO with I = in/groups = 1
+    out = jax.lax.conv_general_dilated(
+        x[None], rhs, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c, preferred_element_type=jnp.float32)
+    return out[0]
+
+
+def _unfold(plane, size: int):
+    """(H, W) -> (H, W, size*size) patch extraction with zero padding."""
+    pad = (size - 1) // 2
+    padded = jnp.pad(plane, ((pad, pad), (pad, pad)))
+    h, w = plane.shape
+    patches = [padded[dy:dy + h, dx:dx + w]
+               for dy in range(size) for dx in range(size)]
+    return jnp.stack(patches, axis=-1)
+
+
+class Features(nn.Module):
+    """6-level feature pyramid. Parity: liteflownet.py:417-461."""
+
+    @nn.compact
+    def __call__(self, x):
+        one = _leaky(_conv(32, 7, name="one0")(x))
+        two = _leaky(_conv(32, 3, 2, name="two0")(one))
+        two = _leaky(_conv(32, 3, name="two1")(two))
+        two = _leaky(_conv(32, 3, name="two2")(two))
+        thr = _leaky(_conv(64, 3, 2, name="thr0")(two))
+        thr = _leaky(_conv(64, 3, name="thr1")(thr))
+        fou = _leaky(_conv(96, 3, 2, name="fou0")(thr))
+        fou = _leaky(_conv(96, 3, name="fou1")(fou))
+        fiv = _leaky(_conv(128, 3, 2, name="fiv0")(fou))
+        six = _leaky(_conv(192, 3, 2, name="six0")(fiv))
+        return [one, two, thr, fou, fiv, six]
+
+
+class Matching(nn.Module):
+    """Cost-volume matching head. Parity: liteflownet.py:463-503."""
+    level: int
+
+    @nn.compact
+    def __call__(self, feat1, feat2, flow):
+        lvl = self.level
+        if lvl == 2:
+            feat_conv = _conv(64, 1, pad=0, name="feat0")  # shared weights
+            feat1 = _leaky(feat_conv(feat1))
+            feat2 = _leaky(feat_conv(feat2))
+        if flow is not None:
+            up_kernel = self.param(
+                "upflow_kernel", _bilinear_deconv_init, (4, 4, 2))
+            flow = _upsample2x_groupdeconv(flow, up_kernel)
+            feat2 = backwarp(feat2, flow * _FLT_BACKWARP[lvl])
+        if lvl >= 4:
+            corr = _leaky(correlation7x7(feat1, feat2, stride=1))
+        else:
+            corr = _leaky(correlation7x7(feat1, feat2, stride=2))
+            upcorr_kernel = self.param(
+                "upcorr_kernel", _bilinear_deconv_init, (4, 4, 49))
+            corr = _upsample2x_groupdeconv(corr, upcorr_kernel)
+        x = _leaky(_conv(128, 3, name="main0")(corr))
+        x = _leaky(_conv(64, 3, name="main1")(x))
+        x = _leaky(_conv(32, 3, name="main2")(x))
+        delta = _conv(2, _KERNEL[lvl], pad=_PAD[lvl], name="main3")(x)
+        return delta if flow is None else flow + delta
+
+
+class Subpixel(nn.Module):
+    """Sub-pixel refinement head. Parity: liteflownet.py:505-531."""
+    level: int
+
+    @nn.compact
+    def __call__(self, feat1, feat2, flow):
+        lvl = self.level
+        if lvl == 2:
+            feat_conv = _conv(64, 1, pad=0, name="feat0")  # shared weights
+            feat1 = _leaky(feat_conv(feat1))
+            feat2 = _leaky(feat_conv(feat2))
+        warped = backwarp(feat2, flow * _FLT_BACKWARP[lvl])
+        x = jnp.concatenate([feat1, warped, flow], axis=-1)
+        x = _leaky(_conv(128, 3, name="main0")(x))
+        x = _leaky(_conv(64, 3, name="main1")(x))
+        x = _leaky(_conv(32, 3, name="main2")(x))
+        delta = _conv(2, _KERNEL[lvl], pad=_PAD[lvl], name="main3")(x)
+        return flow + delta
+
+
+class Regularization(nn.Module):
+    """Feature-driven local flow regularization.
+
+    Parity: liteflownet.py:533-579 (distance-weighted softmax filtering)."""
+    level: int
+
+    @nn.compact
+    def __call__(self, img1, img2, feat1, flow):
+        lvl = self.level
+        size = _KERNEL[lvl]
+        difference = jnp.sqrt(jnp.sum(jnp.square(
+            img1 - backwarp(img2, flow * _FLT_BACKWARP[lvl])), axis=-1,
+            keepdims=True))
+        difference = jax.lax.stop_gradient(difference)
+        if lvl < 5:
+            feat1 = _leaky(_conv(128, 1, pad=0, name="feat0")(feat1))
+        x = jnp.concatenate(
+            [difference, flow - jnp.mean(flow, axis=(0, 1), keepdims=True),
+             feat1], axis=-1)
+        x = _leaky(_conv(128, 3, name="main0")(x))
+        x = _leaky(_conv(128, 3, name="main1")(x))
+        x = _leaky(_conv(64, 3, name="main2")(x))
+        x = _leaky(_conv(64, 3, name="main3")(x))
+        x = _leaky(_conv(32, 3, name="main4")(x))
+        x = _leaky(_conv(32, 3, name="main5")(x))
+        dch = _DIST_CH[lvl]
+        if lvl >= 5:
+            dist = _conv(dch, size, pad=_PAD[lvl], name="dist0")(x)
+        else:
+            dist = _conv(dch, (size, 1), pad=((_PAD[lvl], _PAD[lvl]), (0, 0)),
+                         name="dist0")(x)
+            dist = _conv(dch, (1, size), pad=((0, 0), (_PAD[lvl], _PAD[lvl])),
+                         name="dist1")(dist)
+        dist = -jnp.square(dist)
+        dist = jnp.exp(dist - jnp.max(dist, axis=-1, keepdims=True))
+        divisor = 1.0 / jnp.sum(dist, axis=-1, keepdims=True)
+        fx = _unfold(flow[..., 0], size)
+        fy = _unfold(flow[..., 1], size)
+        scale_x = _conv(1, 1, pad=0, name="scalex")(dist * fx)
+        scale_y = _conv(1, 1, pad=0, name="scaley")(dist * fy)
+        return jnp.concatenate([scale_x * divisor, scale_y * divisor],
+                               axis=-1)
+
+
+class LiteFlowNet(nn.Module):
+    """Full pyramid network. Parity: liteflownet.py:581-611."""
+
+    @nn.compact
+    def __call__(self, img1, img2):
+        img1 = img1 - jnp.asarray(_MEAN_ONE)
+        img2 = img2 - jnp.asarray(_MEAN_TWO)
+        features = Features(name="features")
+        feats1 = features(img1)
+        feats2 = features(img2)
+        imgs1 = [img1]
+        imgs2 = [img2]
+        for lvl in range(1, 6):
+            shape = feats1[lvl].shape
+            imgs1.append(bilinear_resize(imgs1[-1], shape[0], shape[1]))
+            imgs2.append(bilinear_resize(imgs2[-1], shape[0], shape[1]))
+        flow = None
+        for idx in (-1, -2, -3, -4, -5):
+            lvl = _LEVELS[idx]
+            flow = Matching(lvl, name=f"matching{lvl}")(
+                feats1[idx], feats2[idx], flow)
+            flow = Subpixel(lvl, name=f"subpixel{lvl}")(
+                feats1[idx], feats2[idx], flow)
+            flow = Regularization(lvl, name=f"regularization{lvl}")(
+                imgs1[idx], imgs2[idx], feats1[idx], flow)
+        return flow * 20.0
+
+
+# ---------------------------------------------------------------------------
+# weight conversion from the published torch checkpoint
+# ---------------------------------------------------------------------------
+
+def _torch_conv(state, key):
+    w = np.asarray(state[key + ".weight"], dtype=np.float32)
+    out = {"kernel": w.transpose(2, 3, 1, 0)}  # OIHW -> HWIO
+    if key + ".bias" in state:
+        out["bias"] = np.asarray(state[key + ".bias"], dtype=np.float32)
+    return out
+
+def _deconv_kernel(state, key):
+    w = np.asarray(state[key + ".weight"], dtype=np.float32)  # (C, 1, 4, 4)
+    return w[:, 0].transpose(1, 2, 0)  # (4, 4, C)
+
+
+def convert_torch_state(state: dict) -> dict:
+    """Map the sniklaus state_dict layout onto this module tree."""
+    params: dict = {}
+    feat = {}
+    for name, tkey in [("one0", "netOne.0"), ("two0", "netTwo.0"),
+                       ("two1", "netTwo.2"), ("two2", "netTwo.4"),
+                       ("thr0", "netThr.0"), ("thr1", "netThr.2"),
+                       ("fou0", "netFou.0"), ("fou1", "netFou.2"),
+                       ("fiv0", "netFiv.0"), ("six0", "netSix.0")]:
+        feat[name] = _torch_conv(state, "netFeatures." + tkey)
+    params["features"] = feat
+    for idx, lvl in enumerate(_LEVELS):
+        match: dict = {}
+        if lvl == 2:
+            match["feat0"] = _torch_conv(state, f"netMatching.{idx}.netFeat.0")
+        if lvl != 6:
+            match["upflow_kernel"] = _deconv_kernel(
+                state, f"netMatching.{idx}.netUpflow")
+        if lvl < 4:
+            match["upcorr_kernel"] = _deconv_kernel(
+                state, f"netMatching.{idx}.netUpcorr")
+        for conv_idx, torch_idx in enumerate((0, 2, 4, 6)):
+            match[f"main{conv_idx}"] = _torch_conv(
+                state, f"netMatching.{idx}.netMain.{torch_idx}")
+        params[f"matching{lvl}"] = match
+        sub: dict = {}
+        if lvl == 2:
+            sub["feat0"] = _torch_conv(state, f"netSubpixel.{idx}.netFeat.0")
+        for conv_idx, torch_idx in enumerate((0, 2, 4, 6)):
+            sub[f"main{conv_idx}"] = _torch_conv(
+                state, f"netSubpixel.{idx}.netMain.{torch_idx}")
+        params[f"subpixel{lvl}"] = sub
+        reg: dict = {}
+        if lvl < 5:
+            reg["feat0"] = _torch_conv(
+                state, f"netRegularization.{idx}.netFeat.0")
+        for conv_idx, torch_idx in enumerate((0, 2, 4, 6, 8, 10)):
+            reg[f"main{conv_idx}"] = _torch_conv(
+                state, f"netRegularization.{idx}.netMain.{torch_idx}")
+        reg["dist0"] = _torch_conv(state, f"netRegularization.{idx}.netDist.0")
+        if lvl < 5:
+            reg["dist1"] = _torch_conv(
+                state, f"netRegularization.{idx}.netDist.1")
+        reg["scalex"] = _torch_conv(state, f"netRegularization.{idx}.netScaleX")
+        reg["scaley"] = _torch_conv(state, f"netRegularization.{idx}.netScaleY")
+        params[f"regularization{lvl}"] = reg
+    return {"params": params}
+
+
+def load_torch_weights(path: str) -> dict:
+    import torch
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    state = {k.replace("module", "net"): v.numpy() for k, v in state.items()}
+    return convert_torch_state(state)
+
+
+# ---------------------------------------------------------------------------
+# estimator entry point
+# ---------------------------------------------------------------------------
+
+WEIGHTS_ENV = "TRANSFLOW_LITEFLOWNET_WEIGHTS"
+_CACHE: dict = {}
+
+
+def _get_variables(shape_hint, allow_random: bool):
+    if "variables" in _CACHE:
+        return _CACHE["variables"]
+    path = os.environ.get(WEIGHTS_ENV)
+    if path and os.path.isfile(path):
+        variables = load_torch_weights(path)
+    elif allow_random or os.environ.get("TRANSFLOW_LITEFLOWNET_RANDOM"):
+        model = LiteFlowNet()
+        dummy = jnp.zeros((64, 64, 3), jnp.float32)
+        variables = model.init(jax.random.key(0), dummy, dummy)
+    else:
+        raise FileNotFoundError(
+            "LiteFlowNet weights not found. Download "
+            "network-default.pytorch (sniklaus/pytorch-liteflownet) and "
+            f"point {WEIGHTS_ENV} at it, or set "
+            "TRANSFLOW_LITEFLOWNET_RANDOM=1 for random weights.")
+    _CACHE["variables"] = variables
+    return variables
+
+
+@jax.jit
+def _run(variables, img1, img2):
+    return LiteFlowNet().apply(variables, img1, img2)
+
+
+def liteflownet(prev_gray_or_rgb, next_gray_or_rgb, *,
+                allow_random: bool = False):
+    """Estimate (H, W, 2) flow. Accepts RGB (H, W, 3) or grayscale uint8.
+
+    Parity: liteflownet.py:614-647 (estimate + calc_optical_flow_...):
+    pad to /32 via bilinear resize, run, resize back, rescale magnitudes.
+    NOTE: the reference feeds BGR (frame[:, :, ::-1]); we match."""
+    img1 = _to_rgb01(prev_gray_or_rgb)
+    img2 = _to_rgb01(next_gray_or_rgb)
+    h, w = img1.shape[:2]
+    ph = int(np.ceil(h / 32.0) * 32)
+    pw = int(np.ceil(w / 32.0) * 32)
+    variables = _get_variables((ph, pw), allow_random)
+    if (ph, pw) != (h, w):
+        img1 = bilinear_resize(img1, ph, pw)
+        img2 = bilinear_resize(img2, ph, pw)
+    # the network emits flow on the level-2 (half-res) grid in full-res pixel
+    # units; resize to the caller's resolution and rescale magnitudes
+    # (liteflownet.py:631-634)
+    flow = _run(variables, img1, img2)
+    flow = bilinear_resize(flow, h, w)
+    flow = flow * jnp.asarray([w / pw, h / ph], dtype=jnp.float32)
+    return flow
+
+
+def _to_rgb01(image):
+    image = jnp.asarray(image)
+    if image.ndim == 2:
+        image = jnp.repeat(image[..., None], 3, axis=-1)
+    # reference converts RGB -> BGR before the network (liteflownet.py:642)
+    image = image[..., ::-1]
+    return image.astype(jnp.float32) / 255.0

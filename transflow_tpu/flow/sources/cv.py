@@ -127,6 +127,9 @@ class CvFlowSource(FlowSource):
         if frame.shape[1] != self.width or frame.shape[0] != self.height:
             frame = cv2.resize(frame, dsize=(self.width, self.height),
                                interpolation=cv2.INTER_NEAREST)
+        if self.config.method == "liteflownet":
+            # the CNN estimator consumes color frames (cv.py:509-516)
+            return cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
         return cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
 
     def _rewind_reader(self, frame_index: int):

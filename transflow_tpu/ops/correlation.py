@@ -1,0 +1,37 @@
+"""Cost-volume correlation (FlowNet-style 7x7 window).
+
+Parity reference: the raw CUDA kernels in
+transflow/flow/methods/liteflownet.py:48-116 (kernel_Correlation_updateOutput:
+49 displacement channels over a +-3 window, optional stride 2, output
+normalized by the channel count). On TPU the cost volume is expressed as 49
+statically-shifted elementwise products with channel-mean reductions — pure
+VPU work that XLA fuses; the shifts are static slices of one padded buffer,
+so no gather is involved.
+"""
+import jax
+import jax.numpy as jnp
+
+WINDOW = 7
+MAX_DISP = 3
+
+
+def correlation7x7(f1, f2, stride: int = 1):
+    """(H, W, C) x (H, W, C) -> (H//stride, W//stride, 49) cost volume.
+
+    out[y, x, (dy+3)*7+(dx+3)] =
+        mean_c f1[y*s, x*s, c] * f2[y*s + dy*s, x*s + dx*s, c]
+    with zero padding outside the frame (matching the CUDA kernel's padded
+    rbot buffers)."""
+    h, w, c = f1.shape
+    pad = MAX_DISP * stride
+    f2p = jnp.pad(f2, ((pad, pad), (pad, pad), (0, 0)))
+    f1s = f1[::stride, ::stride] if stride > 1 else f1
+    outs = []
+    for dy in range(-MAX_DISP, MAX_DISP + 1):
+        for dx in range(-MAX_DISP, MAX_DISP + 1):
+            shifted = jax.lax.dynamic_slice(
+                f2p, (pad + dy * stride, pad + dx * stride, 0), (h, w, c))
+            if stride > 1:
+                shifted = shifted[::stride, ::stride]
+            outs.append(jnp.mean(f1s * shifted, axis=-1))
+    return jnp.stack(outs, axis=-1)
