@@ -166,3 +166,18 @@ class TestNetwork:
             sorted(set(exp_paths) ^ set(got_paths))[:10])
         for path, shape in exp_paths.items():
             assert got_paths[path] == shape, (path, got_paths[path], shape)
+
+
+class TestPallasCorrelation:
+    """Interpret-mode parity of the Pallas band kernel (runs on CPU)."""
+
+    def test_matches_xla(self):
+        from transflow_tpu.ops.pallas_correlation import pallas_correlation7x7
+        rng = np.random.default_rng(3)
+        for (h, w, c, s) in [(16, 24, 8, 1), (32, 48, 16, 2)]:
+            f1 = jnp.asarray(rng.normal(size=(h, w, c)).astype(np.float32))
+            f2 = jnp.asarray(rng.normal(size=(h, w, c)).astype(np.float32))
+            ref = np.asarray(correlation7x7(f1, f2, stride=s))
+            got = np.asarray(pallas_correlation7x7(f1, f2, stride=s,
+                                                   interpret=True))
+            np.testing.assert_allclose(got, ref, atol=1e-5)

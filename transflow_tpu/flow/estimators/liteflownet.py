@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ...ops.correlation import correlation7x7
+from ...ops.correlation import correlation as correlation7x7
 from ...ops.image import bilinear_resize
 
 _LEVELS = (2, 3, 4, 5, 6)
