@@ -432,6 +432,8 @@ def config_from_args(args) -> "Config":
 def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
+    from . import enable_compile_cache
+    enable_compile_cache()
     if args.action == "gui":
         from .gui.server import start_gui
         start_gui(args.gui_host, args.gui_port, args.gui_mjpeg_port)

@@ -37,8 +37,22 @@ class EncodedVideoOutput(VideoOutput):
         self.execute = execute
         self.process: subprocess.Popen | None = None
         self.writer = None
+        self.native = None
 
     def open(self):
+        # prefer the native writer: encode + color conversion run on a
+        # C++ thread with no GIL (native/transflow_io.cpp)
+        try:
+            from ..native import NativeWriter, is_available
+            if is_available():
+                self.native = NativeWriter(
+                    self.output_path, self.width, self.height,
+                    self.framerate,
+                    fourcc=_FOURCC.get(self.vcodec, "mp4v"))
+                return self
+        except Exception:  # noqa: BLE001 — fall through to python writers
+            logger.debug("native writer unavailable", exc_info=True)
+        self.native = None
         ffmpeg = shutil.which("ffmpeg")
         if ffmpeg is not None:
             self.process = subprocess.Popen(
@@ -66,13 +80,18 @@ class EncodedVideoOutput(VideoOutput):
 
     def feed(self, frame):
         frame = np.asarray(frame, dtype=np.uint8)
-        if self.process is not None:
+        if self.native is not None:
+            self.native.feed(frame)
+        elif self.process is not None:
             self.process.stdin.write(frame.tobytes())
         else:
             import cv2
             self.writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
 
     def close(self):
+        if self.native is not None:
+            self.native.close()
+            self.native = None
         if self.process is not None:
             self.process.stdin.close()
             self.process.wait()
