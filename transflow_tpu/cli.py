@@ -340,6 +340,12 @@ def build_parser() -> argparse.ArgumentParser:
                        help="comma-separated: file, stream or null")
     group.add_argument("--log-path", type=pathlib.Path,
                        default=pathlib.Path("transflow.log"))
+    group.add_argument("--profile", action="store_true",
+                       help="print per-stage frame timing at the end and "
+                       "write <output>.profile.json")
+    group.add_argument("--trace-dir", type=str, default=None,
+                       help="capture a jax.profiler device trace "
+                       "(xprof/tensorboard) into this directory")
 
     group = parser.add_argument_group("GUI options")
     group.add_argument("--gui-host", type=str, default="localhost")
@@ -454,4 +460,6 @@ def main(argv=None):
         log_level=args.log_level,
         log_handler=args.log_handler,
         log_path=args.log_path,
+        profile=args.profile,
+        trace_dir=args.trace_dir,
     ).run()

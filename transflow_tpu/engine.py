@@ -35,6 +35,18 @@ class SourceRuntime:
         self.prev_gray = None
         self.prev_flow = None
         self.last_raw = None
+        self._cfg_version = getattr(getattr(source, "config", None),
+                                    "version", None)
+
+    def _maybe_rejit(self):
+        """Live tuning support: the config window bumps config.version;
+        rebuild the jitted estimator with the new hyper-parameters."""
+        config = getattr(self.source, "config", None)
+        if config is None or config.version == self._cfg_version:
+            return
+        self._cfg_version = config.version
+        self.estimator_step = make_estimator_step(
+            config.method, config.estimator_kwargs(), self.source.direction)
 
     def reset(self, prime_frame: np.ndarray):
         h, w = self.source.height, self.source.width
@@ -57,6 +69,7 @@ class SourceRuntime:
         else:
             if item.prime is not None:
                 self.reset(item.prime)
+            self._maybe_rejit()
             gray = jax.device_put(np.asarray(item.array))
             raw = self.estimator_step(self.prev_gray, gray, self.prev_flow)
             self.prev_gray = gray

@@ -39,24 +39,21 @@ class CvFlowConfig:
             raise ValueError(f"Unknown flow method {self.method!r}")
         self.show_window = show_window
         self.window = None
+        self.version = 0  # bumped by the tuning window; engine re-jits
 
     def start(self):
         """Open the live-tuning window if requested.
 
-        Parity: cv.py:17-268 (PySide6 window). Gated: PySide6 is optional."""
+        Parity: cv.py:17-268 (reference uses PySide6; ours is tkinter)."""
         if not self.show_window:
             return
-        try:
-            from ...gui.tuning import CvFlowConfigWindow
-            self.window = CvFlowConfigWindow(self)
-            self.window.start()
-        except ImportError as err:
-            raise ImportError(
-                "cv_config='window' requires PySide6, which is not "
-                "installed") from err
+        from ...gui.tuning import CvFlowConfigWindow
+        self.window = CvFlowConfigWindow(self)
+        self.window.start()
 
     def update(self, name, value):
         setattr(self, name, value)
+        self.version += 1
 
     def to_dict(self) -> dict:
         return {key: getattr(self, key) for key in self.DEFAULTS}

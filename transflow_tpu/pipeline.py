@@ -42,6 +42,7 @@ from .flow.sources.base import FlowSource
 from .output.archive import NumpyArchiveOutput, ZipOutput
 from .output.video_output import VideoOutput
 from .pixmap.base import PixmapSource
+from .profiling import StageTimers, device_trace
 from .utils import load_bool_mask
 
 logger = logging.getLogger(__name__)
@@ -159,7 +160,9 @@ class Pipeline:
                  log_path: pathlib.Path = pathlib.Path("transflow.log"),
                  cancel_event: Optional[threading.Event] = None,
                  status_queue=None,
-                 progress: bool = True):
+                 progress: bool = True,
+                 profile: bool = False,
+                 trace_dir: str | None = None):
         self.config = cfg
         self.safe = safe
         self.checkpoint_every = checkpoint_every
@@ -176,6 +179,9 @@ class Pipeline:
         self.cancel_event = cancel_event
         self.status_queue = status_queue
         self.progress = progress and tqdm is not None
+        self.profile = profile
+        self.trace_dir = trace_dir
+        self.timers = StageTimers()
 
         self.flow_sources: list[FlowSource] = []
         self.flow_threads: list[_SourceThread] = []
@@ -491,41 +497,59 @@ class Pipeline:
         total = self.expected_length
         bar = tqdm(total=total, unit="frame") if self.progress else None
         pending = None  # (device frame, device flow) — one-deep pipeline
+        timers = self.timers
         try:
-            while True:
-                if total is not None and self.cursor >= total:
-                    break
-                if self.cancel_event is not None and self.cancel_event.is_set():
-                    logger.info("Cancelled")
-                    break
-                try:
-                    items = [thread.get() for thread in self.flow_threads]
-                except StopIteration:
-                    break
-                pixmaps, frame_numbers = self._gather_pixmaps()
-                t = (self.ckpt_meta.get("cursor", 0) + self.cursor) \
-                    / self.fs_framerate
-                frame, flow = self.engine.process_frame(
-                    items, pixmaps, t, frame_numbers)
-                # drain the PREVIOUS frame while this one computes (async
-                # dispatch keeps the device busy)
+            with device_trace(self.trace_dir):
+                while True:
+                    if total is not None and self.cursor >= total:
+                        break
+                    if (self.cancel_event is not None
+                            and self.cancel_event.is_set()):
+                        logger.info("Cancelled")
+                        break
+                    try:
+                        with timers.stage("decode_wait"):
+                            items = [thread.get()
+                                     for thread in self.flow_threads]
+                            pixmaps, frame_numbers = self._gather_pixmaps()
+                    except StopIteration:
+                        break
+                    t = (self.ckpt_meta.get("cursor", 0) + self.cursor) \
+                        / self.fs_framerate
+                    with timers.stage("device_step"):
+                        frame, flow = self.engine.process_frame(
+                            items, pixmaps, t, frame_numbers)
+                    # drain the PREVIOUS frame while this one computes
+                    # (async dispatch keeps the device busy)
+                    if pending is not None:
+                        with timers.stage("drain"):
+                            self._drain(*pending)
+                    pending = (frame, flow)
+                    self.cursor += 1
+                    if bar is not None:
+                        bar.update(1)
+                    if (self.checkpoint_every
+                            and self.cursor % self.checkpoint_every == 0):
+                        with timers.stage("checkpoint"):
+                            self.export_checkpoint()
+                    self._emit_status(started)
                 if pending is not None:
-                    self._drain(*pending)
-                pending = (frame, flow)
-                self.cursor += 1
-                if bar is not None:
-                    bar.update(1)
-                if (self.checkpoint_every
-                        and self.cursor % self.checkpoint_every == 0):
+                    with timers.stage("drain"):
+                        self._drain(*pending)
+                if self.checkpoint_end and self.engine is not None:
                     self.export_checkpoint()
-                self._emit_status(started)
-            if pending is not None:
-                self._drain(*pending)
-            if self.checkpoint_end and self.engine is not None:
-                self.export_checkpoint()
         finally:
             if bar is not None:
                 bar.close()
+            if self.profile:
+                report = self.timers.format_table()
+                logger.info("profile:\n%s", report)
+                print(report)
+                try:
+                    self.timers.dump(self.config.get_secondary_output_path(
+                        ".profile.json"))
+                except OSError:
+                    logger.exception("profile dump failed")
 
     def _drain(self, frame, flow):
         if self.flow_output is not None:
