@@ -1,0 +1,143 @@
+"""Output parity against the actual reference implementation.
+
+Runs the real ychalier/transflow package (mounted read-only at
+/root/reference) on the same inputs and compares rendered frames:
+
+* archive (.flow.zip) flow + still pixmap, reset off -> the whole path is
+  integer/deterministic, outputs must match EXACTLY;
+* Farneback estimation -> >= 40 dB PSNR (BASELINE.md fidelity target); the
+  estimators are independent implementations of the same algorithm.
+
+Skipped automatically when the reference mount is absent.
+"""
+import json
+import os
+import sys
+import zipfile
+
+import cv2
+import numpy as np
+import pytest
+
+REFERENCE_ROOT = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE_ROOT, "transflow")),
+    reason="reference package not mounted")
+
+
+@pytest.fixture(scope="module")
+def reference():
+    sys.path.insert(0, REFERENCE_ROOT)
+    import transflow.pipeline  # noqa: F401
+    yield
+    sys.path.remove(REFERENCE_ROOT)
+
+
+@pytest.fixture(scope="module")
+def assets(tmp_path_factory):
+    root = tmp_path_factory.mktemp("parity")
+    rng = np.random.default_rng(3)
+    video = str(root / "flow.avi")
+    writer = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                             (96, 64))
+    base = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    base = cv2.GaussianBlur(base, (5, 5), 0)
+    for t in range(8):
+        frame = np.roll(base, shift=2 * t, axis=1)
+        frame = np.roll(frame, shift=t, axis=0)
+        writer.write(frame)
+    writer.release()
+    pix = str(root / "pix.png")
+    import PIL.Image
+    PIL.Image.fromarray(
+        rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)).save(pix)
+    # synthetic flow archive (exact replay for both implementations)
+    archive = str(root / "flow.flow.zip")
+    import io
+    with zipfile.ZipFile(archive, "w") as z:
+        z.writestr("meta.json", json.dumps(
+            {"direction": 1, "width": 96, "height": 64, "framerate": 10.0}))
+        jj = np.arange(96)[None, :] * np.ones((64, 1))
+        ii = np.arange(64)[:, None] * np.ones((1, 96))
+        for index in range(6):
+            fx = np.clip(np.round(3 * np.sin(ii / 9 + index)), -jj,
+                         95 - jj)
+            fy = np.clip(np.round(2 * np.cos(jj / 7 - index)), -ii,
+                         63 - ii)
+            flow = np.stack([fx, fy], -1).astype(np.float32)
+            buffer = io.BytesIO()
+            np.save(buffer, flow)
+            z.writestr(f"{index:09d}.npy", buffer.getvalue())
+    return {"video": video, "pix": pix, "archive": archive, "root": root}
+
+
+def run_reference(assets, flow_path, out_dir, **cfg_kwargs):
+    from transflow.config import Config as RefConfig
+    from transflow.config import PixmapSourceConfig as RefPixmapConfig
+    from transflow.pipeline import Pipeline as RefPipeline
+    out = str(out_dir / "ref-%03d.png")
+    cfg = RefConfig(
+        flow_path,
+        pixmap_sources=[RefPixmapConfig(assets["pix"])],
+        output_path=out,
+        seed=5,
+        **cfg_kwargs)
+    RefPipeline(cfg, execute=False, replace=True,
+                export_config=False).run()
+    return sorted(out_dir.glob("ref-*.png"))
+
+
+def run_ours(assets, flow_path, out_dir, **cfg_kwargs):
+    from transflow_tpu.config import Config, PixmapSourceConfig
+    from transflow_tpu.pipeline import Pipeline
+    out = str(out_dir / "own-%03d.png")
+    cfg = Config(
+        flow_path,
+        pixmap_sources=[PixmapSourceConfig(assets["pix"])],
+        output_path=out,
+        seed=5,
+        **cfg_kwargs)
+    Pipeline(cfg, execute=False, replace=True, export_config=False,
+             progress=False).run()
+    return sorted(out_dir.glob("own-*.png"))
+
+
+def psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10 * np.log10(255.0 ** 2 / mse)
+
+
+class TestArchiveExact:
+
+    def test_bit_exact(self, reference, assets, tmp_path):
+        ref_frames = run_reference(assets, assets["archive"], tmp_path)
+        own_frames = run_ours(assets, assets["archive"], tmp_path)
+        assert len(ref_frames) == len(own_frames) > 0
+        for ref_path, own_path in zip(ref_frames, own_frames):
+            ref = cv2.imread(str(ref_path))
+            own = cv2.imread(str(own_path))
+            diff = np.abs(ref.astype(int) - own.astype(int))
+            assert diff.max() == 0, (
+                f"{ref_path.name}: max diff {diff.max()} "
+                f"({np.count_nonzero(diff.sum(-1))} px)")
+
+
+class TestFarnebackPSNR:
+
+    def test_psnr_target(self, reference, assets, tmp_path):
+        ref_frames = run_reference(assets, assets["video"], tmp_path,
+                                   direction="backward")
+        own_frames = run_ours(assets, assets["video"], tmp_path,
+                              direction="backward")
+        assert len(ref_frames) == len(own_frames) > 0
+        values = []
+        for ref_path, own_path in zip(ref_frames, own_frames):
+            ref = cv2.imread(str(ref_path))
+            own = cv2.imread(str(own_path))
+            values.append(psnr(ref, own))
+        mean_psnr = float(np.mean(values))
+        # BASELINE.md fidelity target: >= 40 dB against the reference
+        assert mean_psnr >= 40.0, f"PSNR {values}"
