@@ -197,3 +197,23 @@ class TestCheckpoint:
         assert original is not None and resumed is not None
         diff = np.abs(resumed.astype(int) - original.astype(int))
         assert diff.max() == 0, f"resume mismatch: max diff {diff.max()}"
+
+
+class TestBatchedMode:
+
+    def test_batched_matches_per_frame(self, assets, tmp_path):
+        """--batch-frames (lax.scan chunks) must reproduce the per-frame
+        path exactly when no RNG-consuming reset is active."""
+        outs = []
+        for idx, batch in enumerate([None, 4]):
+            out = str(tmp_path / f"b{idx}-%03d.png")
+            cfg = Config(assets["video"], output_path=out, vcodec="mjpeg",
+                         pixmap_sources=[PixmapSourceConfig(assets["image"])],
+                         seed=12, batch_frames=batch)
+            run_pipeline(cfg, replace=True)
+            outs.append(sorted(tmp_path.glob(f"b{idx}-*.png")))
+        assert len(outs[0]) == len(outs[1]) == 11
+        for a, b in zip(*outs):
+            fa = cv2.imread(str(a))
+            fb = cv2.imread(str(b))
+            assert np.array_equal(fa, fb), a.name

@@ -166,7 +166,58 @@ class Engine:
 
         self._device_step = jax.jit(device_step)
 
+        def device_scan(comp_state, prev_gray, prev_flow, grays, t0,
+                        pixmaps, key, frame0, params_list, pp_masks):
+            """lax.scan over a (K, H, W) chunk — single frame-source fast
+            path; one dispatch per chunk instead of per frame."""
+            # NOTE: bound at trace time — chunked mode does not follow live
+            # estimator re-tuning (the pipeline gates batching accordingly)
+            estimator_step = self.runtimes[0].estimator_step
+            k = grays.shape[0]
+            keys = jax.random.split(key, k)
+            ts = t0 + jnp.arange(k, dtype=jnp.float32) / max(
+                1e-6, self._framerate)
+            frame_nos = frame0 + jnp.arange(k, dtype=jnp.int32)
+
+            def body(carry, inputs):
+                comp_state, prev_gray, prev_flow = carry
+                gray, t, subkey, fno = inputs
+                raw = estimator_step(prev_gray, gray, prev_flow)
+                frame_numbers = jax.tree.map(lambda _: fno, frame_numbers0)
+                comp_state, frame, _ = device_step(
+                    comp_state, (raw,), t, pixmaps, subkey, frame_numbers,
+                    params_list, pp_masks)
+                return (comp_state, gray, raw), frame
+
+            frame_numbers0 = tuple(
+                tuple(0 for _ in p.channel_counts) for p in layer_params)
+            (comp_state, prev_gray, prev_flow), frames = jax.lax.scan(
+                body, (comp_state, prev_gray, prev_flow),
+                (grays, ts, keys, frame_nos))
+            return comp_state, prev_gray, prev_flow, frames
+
+        self._device_scan = jax.jit(device_scan)
+        self._framerate = 30.0  # set by the pipeline before chunking
+
     # ------------------------------------------------------------------
+
+    def process_chunk(self, gray_frames: np.ndarray, pixmaps, t0: float,
+                      frame0: int):
+        """Process a stacked (K, H, W) chunk through one scanned dispatch.
+
+        Only valid for a single frame-yielding flow source (the pipeline
+        gates on that); returns the K rendered frames as one device array."""
+        runtime = self.runtimes[0]
+        runtime._maybe_rejit()
+        grays = jax.device_put(np.ascontiguousarray(gray_frames))
+        self.key, sub = jax.random.split(self.key)
+        (self.comp_state, runtime.prev_gray, runtime.prev_flow,
+         frames) = self._device_scan(
+            self.comp_state, runtime.prev_gray, runtime.prev_flow, grays,
+            jnp.float32(t0), pixmaps, sub, jnp.int32(frame0),
+            self.layer_params, self._pp_masks)
+        runtime.last_raw = runtime.prev_flow
+        return frames
 
     def process_frame(self, items: Sequence[FlowItem], pixmaps, t: float,
                       frame_numbers):

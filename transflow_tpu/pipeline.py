@@ -355,6 +355,7 @@ class Pipeline:
         self.engine = Engine(self.config, self.flow_sources, layer_params,
                              out_h, out_w, self.width_factor,
                              self.height_factor)
+        self.engine._framerate = self.fs_framerate
         if self.ckpt_arrays:
             self.engine.load_state_arrays(self.ckpt_arrays)
         # device pixmap slots
@@ -492,10 +493,91 @@ class Pipeline:
         except queue.Full:
             pass
 
+    @property
+    def _batch_size(self) -> int:
+        """Frames per device dispatch. Chunked (lax.scan) mode needs: an
+        explicit --batch-frames, exactly one frame-yielding flow source, no
+        lock expression, no live tuning window, and constant pixmaps (video
+        pixmaps advance per frame on the host)."""
+        batch = self.config.batch_frames or 0
+        if batch <= 1:
+            return 1
+        if len(self.flow_sources) != 1:
+            return 1
+        source = self.flow_sources[0]
+        if not source.yields_frames or self.config.lock_expr is not None:
+            return 1
+        if getattr(source.config, "show_window", False):
+            return 1
+        if not all(self._pix_constant):
+            return 1
+        return batch
+
+    def _mainloop_batched(self, started, total, bar, batch):
+        """Chunked fast path: stack K decoded frames, one scanned dispatch."""
+        timers = self.timers
+        source_thread = self.flow_threads[0]
+        pixmaps, _ = self._gather_pixmaps()
+        done = False
+        while not done:
+            if total is not None and self.cursor >= total:
+                break
+            if self.cancel_event is not None and self.cancel_event.is_set():
+                break
+            grays = []
+            with timers.stage("decode_wait"):
+                want = batch if total is None else min(
+                    batch, total - self.cursor)
+                while len(grays) < want:
+                    try:
+                        item = source_thread.get()
+                    except StopIteration:
+                        done = True
+                        break
+                    if item.prime is not None:
+                        self.engine.runtimes[0].reset(item.prime)
+                    grays.append(item.array)
+            if not grays:
+                break
+            base = self.ckpt_meta.get("cursor", 0) + self.cursor
+            with timers.stage("device_step"):
+                frames = self.engine.process_chunk(
+                    np.stack(grays), pixmaps, base / self.fs_framerate, base)
+            with timers.stage("drain"):
+                host_frames = np.asarray(frames)
+                for frame in host_frames:
+                    for thread in self.output_threads:
+                        thread.feed(frame)
+                    if self.flow_output is not None:
+                        logger.warning(
+                            "flow export is unsupported in batched mode")
+            self.cursor += len(grays)
+            if bar is not None:
+                bar.update(len(grays))
+            if (self.checkpoint_every and (self.cursor // batch)
+                    and self.cursor % max(1, (self.checkpoint_every
+                                              // batch) * batch) == 0):
+                with timers.stage("checkpoint"):
+                    self.export_checkpoint()
+            self._emit_status(started)
+        if self.checkpoint_end and self.engine is not None:
+            self.export_checkpoint()
+
     def _mainloop(self):
         started = time.time()
         total = self.expected_length
         bar = tqdm(total=total, unit="frame") if self.progress else None
+        batch = self._batch_size
+        if batch > 1:
+            try:
+                with device_trace(self.trace_dir):
+                    self._mainloop_batched(started, total, bar, batch)
+            finally:
+                if bar is not None:
+                    bar.close()
+                if self.profile:
+                    print(self.timers.format_table())
+            return
         pending = None  # (device frame, device flow) — one-deep pipeline
         timers = self.timers
         try:
