@@ -217,3 +217,28 @@ class TestBatchedMode:
             fa = cv2.imread(str(a))
             fb = cv2.imread(str(b))
             assert np.array_equal(fa, fb), a.name
+
+
+class TestMultiFlow:
+
+    def test_extra_flows_merge(self, assets, tmp_path):
+        """Two flow sources merged with 'sum' (reference --flow/--merge)."""
+        out = str(tmp_path / "merged.avi")
+        cfg = Config(assets["video"],
+                     extra_flow_paths=[assets["video"]],
+                     flows_merging_function="sum",
+                     output_path=out, vcodec="mjpeg",
+                     pixmap_sources=[PixmapSourceConfig("noise")], seed=13)
+        pipeline = run_pipeline(cfg, replace=True)
+        assert pipeline.cursor == 11
+        merged = read_frames(out)
+        assert len(merged) == 11
+        # sum of two identical flows = doubled displacement; must differ
+        # from the single-flow render
+        out_single = str(tmp_path / "single.avi")
+        cfg2 = Config(assets["video"], output_path=out_single,
+                      vcodec="mjpeg",
+                      pixmap_sources=[PixmapSourceConfig("noise")], seed=13)
+        run_pipeline(cfg2, replace=True)
+        single = read_frames(out_single)
+        assert not np.array_equal(merged[-1], single[-1])

@@ -164,7 +164,9 @@ class Engine:
                 frame = jnp.zeros((out_height, out_width, 3), dtype=jnp.uint8)
             return comp_state, frame, flow
 
-        self._device_step = jax.jit(device_step)
+        # donate the compositor state: it is replaced every frame, and
+        # donation lets XLA update the (H, W) buffers in place
+        self._device_step = jax.jit(device_step, donate_argnums=(0,))
 
         def device_scan(comp_state, prev_gray, prev_flow, grays, t0,
                         pixmaps, key, frame0, params_list, pp_masks):
@@ -196,7 +198,7 @@ class Engine:
                 (grays, ts, keys, frame_nos))
             return comp_state, prev_gray, prev_flow, frames
 
-        self._device_scan = jax.jit(device_scan)
+        self._device_scan = jax.jit(device_scan, donate_argnums=(0, 1, 2))
         self._framerate = 30.0  # set by the pipeline before chunking
 
     # ------------------------------------------------------------------

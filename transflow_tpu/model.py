@@ -126,7 +126,7 @@ class FlowTransferModel:
         return self._step(state, gray, pixmaps, t, key, frame_numbers,
                           params_list, pp_mask)
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _jit_step(self, state, gray, pixmaps, t, key, frame_numbers,
                   params_list, pp_mask):
         return self._step(state, gray, pixmaps, t, key, frame_numbers,
@@ -164,7 +164,7 @@ class FlowTransferModel:
 
         return jax.lax.scan(body, state, (grays, ts, keys, frame_nos))
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _jit_scan(self, state, grays, pixmaps, t0, key, params_list,
                   pp_mask):
         return self.scan(state, grays, pixmaps, t0, key, params_list,
