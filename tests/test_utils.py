@@ -142,3 +142,40 @@ class TestMisc:
         with open(path, "w") as f:
             f.write("x")
         assert find_unique_path(path) == str(tmp_path / "video.000.flow.zip")
+
+
+class TestControlSession:
+    """Headless alteration editor over a checkpoint (extra/control.py)."""
+
+    def test_session(self, tmp_path):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "extra"))
+        import io
+        import json
+        import zipfile
+        from control import ControlSession
+
+        # synthetic checkpoint: mapping shifted by +1 column
+        h, w = 6, 8
+        pos_i = np.arange(h)[:, None] * np.ones((1, w), int)
+        pos_j = np.clip(np.arange(w)[None, :] * np.ones((h, 1), int) + 1,
+                        0, w - 1)
+        path = str(tmp_path / "x_00001.ckpt.zip")
+        buffer = io.BytesIO()
+        np.savez(buffer, **{"layer0.pos_i": pos_i, "layer0.pos_j": pos_j})
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr("meta.json", json.dumps({"cursor": 1}))
+            z.writestr("state.npz", buffer.getvalue())
+
+        session = ControlSession(path)
+        assert session.source_of(2, 3) == (2, 4)
+        session.paint(2, 3, "red")
+        assert tuple(session.alteration[2, 4]) == (255, 0, 0, 255)
+        out = str(tmp_path / "alt.png")
+        session.export(out)
+        assert os.path.isfile(out)
+        preview = session.preview()
+        assert tuple(preview[2, 3]) == (255, 0, 0)
+        session.erase(2, 3)
+        assert session.alteration[2, 4, 3] == 0
