@@ -266,3 +266,101 @@ class TestResetModes:
         flow = jnp.zeros((1, 9, 2), dtype=jnp.float32)
         state = update_moveref(params, state, flow, (), KEY)
         assert int(state["pos_j"][0, 0]) == 4  # 8 + round(0.5 * (0-8))
+
+
+def oracle_introduction(cfg: LayerConfig, state, flow, pixmap, intro_mask,
+                        frame_number, introduced_once):
+    """Intended introduction semantics (reference introduction.py:20-59 with
+    its `numpy.where(x) == 0` no-op bugs fixed), straight numpy."""
+    h, w = state["alpha"].shape
+    # movement of all channels
+    flow_int = np.round(flow).astype(np.int64)
+    di, dj = flow_int[..., 1], flow_int[..., 0]
+    moving = (di != 0) | (dj != 0)
+    ii = np.arange(h)[:, None] * np.ones((1, w), int)
+    jj = np.ones((h, 1), int) * np.arange(w)[None, :]
+    si = np.clip(ii + di, 0, h - 1)
+    sj = np.clip(jj + dj, 0, w - 1)
+    filled0 = state["alpha"] != 0
+    tgt = moving & filled0[si, sj]
+    out = {}
+    for key in ("rgb", "alpha", "source", "pos_i", "pos_j", "frame"):
+        v = state[key]
+        sel = tgt[..., None] if v.ndim == 3 else tgt
+        out[key] = np.where(sel, v[si, sj], v)
+    out["alpha"] = np.where(tgt, 1, out["alpha"])
+    # introduction eligibility
+    filled = out["alpha"] != 0
+    mask = np.ones((h, w), bool)
+    if not cfg.introduce_pixels_on_empty_spots:
+        mask &= filled
+    if not cfg.introduce_pixels_on_filled_spots:
+        mask &= ~filled
+    if not cfg.introduce_moving_pixels:
+        mask &= ~moving
+    if not cfg.introduce_unmoving_pixels:
+        mask &= moving
+    consider = not (cfg.introduce_on_all_filled_spots
+                    or cfg.introduce_on_all_empty_spots)
+    if cfg.introduce_on_all_filled_spots:
+        mask |= filled
+    if cfg.introduce_on_all_empty_spots:
+        mask |= ~filled
+    if cfg.introduce_once and introduced_once:
+        mask &= False
+    tgt2 = mask & intro_mask
+    gi, gj = (si, sj) if consider else (ii, jj)
+    out["rgb"] = np.where(tgt2[..., None], pixmap[gi, gj], out["rgb"])
+    out["alpha"] = np.where(tgt2, 1, out["alpha"])
+    out["source"] = np.where(tgt2, 0, out["source"])
+    out["pos_i"] = np.where(tgt2, gi, out["pos_i"])
+    out["pos_j"] = np.where(tgt2, gj, out["pos_j"])
+    out["frame"] = np.where(tgt2, frame_number, out["frame"])
+    return out
+
+
+class TestIntroductionVsOracle:
+
+    def _run(self, cfg, seed):
+        rng = np.random.default_rng(seed)
+        h, w = 11, 13
+        ii = np.arange(h)[:, None] * np.ones((1, w), int)
+        jj = np.ones((h, 1), int) * np.arange(w)[None, :]
+        dx = np.clip(rng.integers(-2, 3, (h, w)), -jj, w - 1 - jj)
+        dy = np.clip(rng.integers(-2, 3, (h, w)), -ii, h - 1 - ii)
+        flow = np.stack([dx, dy], -1).astype(np.float32)
+        intro_mask = rng.random((h, w)) < 0.7
+        pixmap = rng.integers(0, 256, (h, w, 3), np.uint8)
+        state_np = {
+            "rgb": rng.integers(0, 256, (h, w, 3), np.uint8),
+            "alpha": rng.integers(0, 2, (h, w)).astype(np.int32),
+            "source": np.zeros((h, w), np.int32),
+            "pos_i": rng.integers(0, h, (h, w)).astype(np.int32),
+            "pos_j": rng.integers(0, w, (h, w)).astype(np.int32),
+            "frame": np.zeros((h, w), np.int32),
+        }
+        expected = oracle_introduction(cfg, state_np, flow, pixmap,
+                                       intro_mask, 4, False)
+        params = LayerParams(cfg, h, w, [intro_mask], [3])
+        state = {k: jnp.asarray(v) for k, v in state_np.items()}
+        state["introduced_once"] = jnp.zeros((), jnp.bool_)
+        got = update_introduction(params, state, jnp.asarray(flow),
+                                  (jnp.asarray(pixmap),), KEY, (4,))
+        for key, exp in expected.items():
+            np.testing.assert_array_equal(np.asarray(got[key]), exp, err_msg=key)
+        assert bool(got["introduced_once"])
+
+    def test_default(self):
+        self._run(LayerConfig(0, classname="introduction"), 1)
+
+    def test_only_empty(self):
+        self._run(LayerConfig(0, classname="introduction",
+                              introduce_pixels_on_filled_spots=False), 2)
+
+    def test_only_unmoving(self):
+        self._run(LayerConfig(0, classname="introduction",
+                              introduce_moving_pixels=False), 3)
+
+    def test_force_all_filled(self):
+        self._run(LayerConfig(0, classname="introduction",
+                              introduce_on_all_filled_spots=True), 4)

@@ -444,6 +444,16 @@ def main(argv=None):
         from .gui.server import start_gui
         start_gui(args.gui_host, args.gui_port, args.gui_mjpeg_port)
         return
+    if args.action == "bench":
+        import importlib.util
+        import os
+        spec = importlib.util.spec_from_file_location(
+            "transflow_bench", os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "bench.py"))
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        module.main()
+        return
     cfg = config_from_args(args)
     from .pipeline import Pipeline
     Pipeline(

@@ -254,11 +254,13 @@ class GuiServer:
         self._loop = asyncio.new_event_loop()
         asyncio.set_event_loop(self._loop)
 
+        self._ws_stop = self._loop.create_future()
+
         async def serve():
             async with websockets.serve(self._ws_handler, self.host,
                                         self.ws_port):
                 self._ready.set()
-                await asyncio.Future()
+                await self._ws_stop
 
         try:
             self._loop.run_until_complete(serve())
@@ -298,7 +300,12 @@ class GuiServer:
         if self.http_server is not None:
             self.http_server.shutdown()
         if self._loop is not None:
-            self._loop.call_soon_threadsafe(self._loop.stop)
+            def finish():
+                if not self._ws_stop.done():
+                    self._ws_stop.set_result(None)
+            self._loop.call_soon_threadsafe(finish)
+            if self.ws_thread is not None:
+                self.ws_thread.join(timeout=5)
 
 
 def start_gui(host: str = "localhost", port: int = 8000,

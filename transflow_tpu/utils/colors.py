@@ -62,6 +62,34 @@ CSS4_COLORS = {
 _RGB_RE = re.compile(r"^(?:rgb)?\((\d+), ?(\d+), ?(\d+)\)$", re.IGNORECASE)
 
 
+def compose_top(*colors):
+    """Last color wins. Parity: transflow/utils.py:327-328."""
+    return colors[-1]
+
+
+def compose_additive(*colors):
+    """Saturating channel sum. Parity: transflow/utils.py:331-336."""
+    return tuple(min(255, sum(c[k] for c in colors)) for k in range(3))
+
+
+def compose_subtractive(*colors):
+    """Subtract each color's complement. Parity: transflow/utils.py:339-345."""
+    r, g, b = colors[0]
+    for color in colors[1:]:
+        r = max(0, r - (255 - color[0]))
+        g = max(0, g - (255 - color[1]))
+        b = max(0, b - (255 - color[2]))
+    return (r, g, b)
+
+
+def compose_average(*colors):
+    """Channel mean. Parity: transflow/utils.py:348-356."""
+    if not colors:
+        return (0, 0, 0)
+    return tuple(int(sum(c[k] for c in colors) / len(colors))
+                 for k in range(3))
+
+
 def parse_color(string: str) -> tuple[int, int, int]:
     """Parse a CSS color name, 'rgb(r,g,b)' / '(r,g,b)' tuple, or hex string."""
     key = string.lower()
