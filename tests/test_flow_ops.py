@@ -222,3 +222,29 @@ class TestMerge:
         out = np.asarray(MERGE_FUNCTIONS["maskbin"]([base, gate]))
         expected = (np.abs(np.asarray(gate)) > 0.2).astype(np.float32)
         assert np.allclose(out, expected)
+
+
+class TestFarnebackFlags:
+
+    def test_gaussian_window_flag(self):
+        from transflow_tpu.flow.estimators.farneback import (
+            OPTFLOW_FARNEBACK_GAUSSIAN)
+        a, b = shifted_pair(64, 96, dx=2, dy=1)
+        box = np.asarray(farneback(jnp.asarray(a), jnp.asarray(b)))
+        gauss = np.asarray(farneback(jnp.asarray(a), jnp.asarray(b),
+                                     flags=OPTFLOW_FARNEBACK_GAUSSIAN))
+        # both recover the translation; the windows differ numerically
+        assert abs(np.median(gauss[16:-16, 16:-16, 0]) - 2) < 0.7
+        assert not np.array_equal(box, gauss)
+
+    def test_use_initial_flow(self):
+        from transflow_tpu.flow.estimators.farneback import (
+            OPTFLOW_USE_INITIAL_FLOW)
+        a, b = shifted_pair(64, 96, dx=2, dy=0)
+        prev = jnp.full((64, 96, 2), 2.0, dtype=jnp.float32)
+        warm = np.asarray(farneback(jnp.asarray(a), jnp.asarray(b), prev,
+                                    flags=OPTFLOW_USE_INITIAL_FLOW))
+        cold = np.asarray(farneback(jnp.asarray(a), jnp.asarray(b), prev))
+        # the warm start is honored only with the flag (cv2 semantics)
+        assert not np.array_equal(warm, cold)
+        assert abs(np.median(warm[16:-16, 16:-16, 0]) - 2) < 0.7

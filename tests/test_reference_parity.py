@@ -141,3 +141,22 @@ class TestFarnebackPSNR:
         mean_psnr = float(np.mean(values))
         # BASELINE.md fidelity target: >= 40 dB against the reference
         assert mean_psnr >= 40.0, f"PSNR {values}"
+
+
+class TestHornSchunckPSNR:
+
+    def test_psnr_target(self, reference, assets, tmp_path):
+        import json as _json
+        cv_cfg = str(assets["root"] / "hs.json")
+        with open(cv_cfg, "w") as file:
+            _json.dump({"method": "horn-schunck", "hs_iterations": 3,
+                        "hs_alpha": 1.0, "hs_decay": 0.0, "hs_delta": 1.0},
+                       file)
+        ref_frames = run_reference(assets, assets["video"], tmp_path,
+                                   direction="backward", cv_config=cv_cfg)
+        own_frames = run_ours(assets, assets["video"], tmp_path,
+                              direction="backward", cv_config=cv_cfg)
+        assert len(ref_frames) == len(own_frames) > 0
+        values = [psnr(cv2.imread(str(a)), cv2.imread(str(b)))
+                  for a, b in zip(ref_frames, own_frames)]
+        assert float(np.mean(values)) >= 40.0, values
