@@ -364,3 +364,52 @@ class TestIntroductionVsOracle:
     def test_force_all_filled(self):
         self._run(LayerConfig(0, classname="introduction",
                               introduce_on_all_filled_spots=True), 4)
+
+
+class TestRgbaPixmaps:
+
+    def test_four_channel_pixmap_alpha(self):
+        """4-channel pixmaps copy their alpha through the mapping
+        (reference.py:100-103)."""
+        h, w = 4, 6
+        mask = np.ones((h, w), dtype=bool)
+        params = make_params(LayerConfig(0), h, w, sources=[(4, mask)])
+        state = init_layer_state(params)
+        pixmap = np.zeros((h, w, 4), np.uint8)
+        pixmap[..., :3] = 77
+        pixmap[:, :3, 3] = 255  # left half opaque, right half transparent
+        state = update_moveref(params, state,
+                               jnp.zeros((h, w, 2), jnp.float32),
+                               (jnp.asarray(pixmap),), KEY)
+        _, rgba = render_layer(params, state)
+        rgba = np.asarray(rgba)
+        assert np.all(rgba[:, :3, 3] == 255)
+        assert np.all(rgba[:, 3:, 3] == 0)
+
+    def test_checkpoint_roundtrip_introduction(self):
+        """Engine state arrays round-trip for introduction layers too."""
+        from transflow_tpu.config import Config, PixmapSourceConfig
+        from transflow_tpu.engine import Engine
+        from transflow_tpu.flow.sources.base import FlowSource
+        from transflow_tpu.compositor.core import make_layer_params
+
+        class DummySource(FlowSource):
+            yields_frames = False
+
+        cfg = Config("dummy.flow.zip",
+                     pixmap_sources=[PixmapSourceConfig("noise")],
+                     layers=[LayerConfig(0, classname="introduction")],
+                     seed=1)
+        h, w = 6, 8
+        params = make_layer_params(
+            cfg.layers, h, w, {0: [(3, np.ones((h, w), bool))]})
+        src = DummySource()
+        src.width, src.height = w, h
+        engine = Engine(cfg, [src], params, h, w)
+        arrays = engine.state_arrays()
+        assert "layer0.introduced_once" in arrays
+        assert "rng_key" in arrays
+        engine2 = Engine(cfg, [src], params, h, w)
+        engine2.load_state_arrays(arrays)
+        for key, value in engine2.state_arrays().items():
+            np.testing.assert_array_equal(value, arrays[key], err_msg=key)

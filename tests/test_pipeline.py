@@ -242,3 +242,33 @@ class TestMultiFlow:
         run_pipeline(cfg2, replace=True)
         single = read_frames(out_single)
         assert not np.array_equal(merged[-1], single[-1])
+
+
+class TestFlowUpscale:
+
+    def test_pixmap_larger_than_flow(self, assets, tmp_path):
+        """Pixmap at an integer multiple of the flow size: the flow is
+        kron-upscaled with magnitude scaling (reference pipeline.py:430-438,
+        utils.py:417-418)."""
+        big = str(tmp_path / "big.png")
+        rng = np.random.default_rng(5)
+        PIL.Image.fromarray(
+            rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)).save(big)
+        out = str(tmp_path / "up.avi")
+        cfg = Config(assets["video"], output_path=out, vcodec="mjpeg",
+                     pixmap_sources=[PixmapSourceConfig(big)], seed=6)
+        pipeline = run_pipeline(cfg, replace=True)
+        assert pipeline.width_factor == 2 and pipeline.height_factor == 2
+        frames = read_frames(out)
+        assert len(frames) == 11
+        assert frames[0].shape == (96, 128, 3)
+
+    def test_mismatched_resolution_raises(self, assets, tmp_path):
+        bad = str(tmp_path / "bad.png")
+        PIL.Image.fromarray(
+            np.zeros((50, 70, 3), dtype=np.uint8)).save(bad)
+        cfg = Config(assets["video"], output_path=str(tmp_path / "x.avi"),
+                     vcodec="mjpeg",
+                     pixmap_sources=[PixmapSourceConfig(bad)], seed=6)
+        with pytest.raises(ValueError, match="Resolutions do not match"):
+            run_pipeline(cfg, replace=True)

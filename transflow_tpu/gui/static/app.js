@@ -229,8 +229,113 @@ function onMessage(message) {
 /* wiring                                                               */
 /* ------------------------------------------------------------------ */
 
+/* ------------------------------------------------------------------ */
+/* mask builder: compose DSL rules with a live preview                  */
+/* ------------------------------------------------------------------ */
+
+let maskTarget = null;
+
+function evalMask(rule, w, h) {
+  // client-side mirror of the mask DSL for previewing (utils/masks.py)
+  const out = new Float32Array(w * h);
+  const inv = rule.endsWith(":inv");
+  if (inv) rule = rule.slice(0, -4);
+  const [name, ...args] = rule.split(":");
+  const dim = (s, parent) => !s ? 0 : s.endsWith("%")
+      ? Math.floor(parseFloat(s) / 100 * parent) : parseInt(s, 10);
+  const set = (cond) => {
+    for (let i = 0; i < h; i++)
+      for (let j = 0; j < w; j++)
+        out[i * w + j] = cond(i, j) ? 1 : 0;
+  };
+  if (name === "ones") set(() => true);
+  else if (name === "zeros") set(() => false);
+  else if (name === "random") { for (let k = 0; k < out.length; k++) out[k] = Math.random(); }
+  else if (name.startsWith("border")) {
+    let t = 0, r = 0, b = 0, l = 0;
+    if (name === "border") {
+      const p = args.map((a, i) => dim(a, i % 2 === 0 ? h : w));
+      if (p.length === 1) t = r = b = l = p[0];
+      else if (p.length === 2) { t = b = p[0]; r = l = p[1]; }
+      else if (p.length === 4) [t, r, b, l] = p;
+    } else if (name === "border-top") t = dim(args[0], h);
+    else if (name === "border-right") r = dim(args[0], w);
+    else if (name === "border-bottom") b = dim(args[0], h);
+    else if (name === "border-left") l = dim(args[0], w);
+    set((i, j) => i < t || j >= w - r || i >= h - b || j < l);
+  } else if (name === "hline") {
+    const size = dim(args[0], h), i0 = Math.floor((h - size) / 2);
+    set((i) => i >= i0 && i < i0 + size);
+  } else if (name === "vline") {
+    const size = dim(args[0], w), j0 = Math.floor((w - size) / 2);
+    set((i, j) => j >= j0 && j < j0 + size);
+  } else if (name === "circle") {
+    const rad = dim(args[0], Math.min(w, h));
+    set((i, j) => (i - (h >> 1)) ** 2 + (j - (w >> 1)) ** 2 < rad * rad);
+  } else if (name === "rect") {
+    const rw = dim(args[0], w), rh = dim(args[1] || args[0], h);
+    set((i, j) => Math.abs(i - (h >> 1)) < (rh >> 1) + (rh % 2)
+               && Math.abs(j - (w >> 1)) < (rw >> 1) + (rw % 2));
+  } else if (name === "grid") {
+    const rows = parseInt(args[0] || "2"), cols = parseInt(args[1] || "2"),
+          rad = parseInt(args[2] || "4");
+    const ch = Math.floor(h / rows), cw = Math.floor(w / cols);
+    set((i, j) => {
+      const ci = (Math.floor(i / ch) + 0.5) * ch, cj = (Math.floor(j / cw) + 0.5) * cw;
+      return (i - ci) ** 2 + (j - cj) ** 2 < rad * rad;
+    });
+  }
+  if (inv) for (let k = 0; k < out.length; k++) out[k] = 1 - out[k];
+  return out;
+}
+
+function updateMaskPreview() {
+  const type = $("mb_type").value;
+  const params = $("mb_params").value.trim();
+  let rule = params && !["ones", "zeros", "random"].includes(type)
+      ? `${type}:${params}` : type;
+  if ($("mb_inv").checked) rule += ":inv";
+  $("mb_rule").textContent = rule;
+  const canvas = $("mb_preview");
+  const ctx = canvas.getContext("2d");
+  const { width: w, height: h } = canvas;
+  try {
+    const mask = evalMask(rule, w, h);
+    const img = ctx.createImageData(w, h);
+    for (let k = 0; k < w * h; k++) {
+      const v = Math.round(255 * mask[k]);
+      img.data[4 * k] = img.data[4 * k + 1] = img.data[4 * k + 2] = v;
+      img.data[4 * k + 3] = 255;
+    }
+    ctx.putImageData(img, 0, 0);
+  } catch (e) { ctx.clearRect(0, 0, w, h); }
+  return rule;
+}
+
+function setupMaskBuilder() {
+  document.body.addEventListener("focusin", (ev) => {
+    if (ev.target.matches("input.maskable, [data-k=introduction_path], #mask_path, [data-k=mask_alpha]"))
+      maskTarget = ev.target;
+  });
+  $("open_mask_builder").addEventListener("click", () => {
+    $("mask_builder").showModal();
+    updateMaskPreview();
+  });
+  for (const id of ["mb_type", "mb_params", "mb_inv"])
+    $(id).addEventListener("input", updateMaskPreview);
+  $("mb_insert").addEventListener("click", () => {
+    const rule = updateMaskPreview();
+    const target = maskTarget || $("mask_path");
+    target.value = rule;
+    target.dispatchEvent(new Event("input"));
+    $("mask_builder").close();
+  });
+  $("mb_close").addEventListener("click", () => $("mask_builder").close());
+}
+
 window.addEventListener("DOMContentLoaded", () => {
   loadState();
+  setupMaskBuilder();
   renderPixmaps();
   renderLayers();
   for (const el of document.querySelectorAll("input, select")) {
