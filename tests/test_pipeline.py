@@ -272,3 +272,61 @@ class TestFlowUpscale:
                      pixmap_sources=[PixmapSourceConfig(bad)], seed=6)
         with pytest.raises(ValueError, match="Resolutions do not match"):
             run_pipeline(cfg, replace=True)
+
+
+class TestRobustness:
+
+    def test_cancel_event(self, assets, tmp_path):
+        import threading
+        out = str(tmp_path / "cancelled.avi")
+        cancel = threading.Event()
+        cancel.set()  # cancel before the first frame
+        cfg = Config(assets["video"], output_path=out, vcodec="mjpeg",
+                     pixmap_sources=[PixmapSourceConfig("noise")], seed=14)
+        pipeline = run_pipeline(cfg, replace=True, cancel_event=cancel)
+        assert pipeline.cursor == 0
+
+    def test_safe_mode_checkpoint_on_error(self, assets, tmp_path, monkeypatch):
+        out = str(tmp_path / "boom.avi")
+        cfg = Config(assets["video"], output_path=out, vcodec="mjpeg",
+                     pixmap_sources=[PixmapSourceConfig("noise")], seed=15)
+        pipeline = Pipeline(cfg, safe=True, replace=True, progress=False,
+                            execute=False)
+        calls = {"n": 0}
+        original = pipeline._gather_pixmaps
+
+        def explode():
+            calls["n"] += 1
+            if calls["n"] > 3:
+                raise RuntimeError("synthetic failure")
+            return original()
+
+        monkeypatch.setattr(pipeline, "_gather_pixmaps", explode)
+        monkeypatch.chdir(tmp_path)
+        with pytest.raises(RuntimeError, match="synthetic failure"):
+            pipeline.run()
+        # safe mode: checkpoint + last-config.json written
+        assert (tmp_path / "last-config.json").is_file()
+        assert list(tmp_path.glob("boom_*.ckpt.zip"))
+
+    def test_infinite_flow_bounded_by_pixmap(self, assets, tmp_path):
+        """repeat=0 (infinite flow) + finite video pixmap: the run ends when
+        the pixmap is exhausted (reference expected_length semantics)."""
+        out = str(tmp_path / "inf.avi")
+        cfg = Config(assets["video"], repeat=0, output_path=out,
+                     vcodec="mjpeg",
+                     pixmap_sources=[PixmapSourceConfig(assets["video"])],
+                     seed=16)
+        pipeline = run_pipeline(cfg, replace=True)
+        assert pipeline.fs_length is None
+        assert pipeline.cursor == 12  # bounded by the 12-frame pixmap video
+
+    def test_log_file_handler(self, assets, tmp_path):
+        out = str(tmp_path / "logged.avi")
+        log_path = tmp_path / "run.log"
+        cfg = Config(assets["video"], duration_time=0.2, output_path=out,
+                     vcodec="mjpeg",
+                     pixmap_sources=[PixmapSourceConfig("noise")], seed=17)
+        run_pipeline(cfg, replace=True, log_handler="file",
+                     log_level="INFO", log_path=log_path)
+        assert log_path.is_file()

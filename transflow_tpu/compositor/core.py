@@ -23,7 +23,6 @@ Known reference bugs NOT replicated (documented deviations):
   (transposed); movement.py and the WebGL acc shader agree on (dy->i, dx->j),
   which is what we implement.
 """
-import functools
 from typing import Sequence
 
 import jax

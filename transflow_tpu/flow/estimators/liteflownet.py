@@ -15,7 +15,6 @@ correlation is a raw CUDA kernel (:48-116). Here:
   weights the estimator raises, or runs randomly initialized when
   ``allow_random`` is set (shape/integration tests).
 """
-import functools
 import os
 
 import jax

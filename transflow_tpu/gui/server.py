@@ -284,7 +284,6 @@ class GuiServer:
         logger.info("GUI on %s (ws on :%d)", url, self.ws_port)
         if open_browser:
             try:
-                from ..utils import startfile
                 import webbrowser
                 webbrowser.open(url)
             except Exception:  # noqa: BLE001
