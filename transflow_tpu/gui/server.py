@@ -208,7 +208,15 @@ class GuiServer:
         def job():
             try:
                 self.pipeline.run()
-                self._broadcast("DONE")
+                # reference broadcasts DONE with the output file so the
+                # client can link it (gui/server.py:214-215)
+                produced = ""
+                for thread in self.pipeline.output_threads:
+                    path = thread.output.output_path
+                    if path:
+                        produced = path
+                        break
+                self._broadcast(f"DONE {produced}".rstrip())
             except Exception as err:  # noqa: BLE001
                 self._broadcast(f"ERROR {err}")
 

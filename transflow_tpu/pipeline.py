@@ -502,6 +502,8 @@ class Pipeline:
         batch = self.config.batch_frames or 0
         if batch <= 1:
             return 1
+        if self.export_flow:
+            return 1  # flow export needs the per-frame path
         if len(self.flow_sources) != 1:
             return 1
         source = self.flow_sources[0]
@@ -548,15 +550,13 @@ class Pipeline:
                 for frame in host_frames:
                     for thread in self.output_threads:
                         thread.feed(frame)
-                    if self.flow_output is not None:
-                        logger.warning(
-                            "flow export is unsupported in batched mode")
+            previous_cursor = self.cursor
             self.cursor += len(grays)
             if bar is not None:
                 bar.update(len(grays))
-            if (self.checkpoint_every and (self.cursor // batch)
-                    and self.cursor % max(1, (self.checkpoint_every
-                                              // batch) * batch) == 0):
+            if (self.checkpoint_every and
+                    self.cursor // self.checkpoint_every
+                    > previous_cursor // self.checkpoint_every):
                 with timers.stage("checkpoint"):
                     self.export_checkpoint()
             self._emit_status(started)
