@@ -330,3 +330,34 @@ class TestRobustness:
         run_pipeline(cfg, replace=True, log_handler="file",
                      log_level="INFO", log_path=log_path)
         assert log_path.is_file()
+
+
+class TestDoubleResume:
+
+    def test_checkpoint_of_resumed_run(self, assets, tmp_path):
+        """A checkpoint written by a resumed run must store the ABSOLUTE
+        cursor so a second resume lands on the right frame."""
+        template = str(tmp_path / "r-%03d.png")
+        cfg = Config(assets["video"], output_path=template, vcodec="mjpeg",
+                     pixmap_sources=[PixmapSourceConfig("cnoise")], seed=21)
+        run_pipeline(cfg, replace=True, checkpoint_every=4)
+        ckpt1 = str(tmp_path / "r-%03d_00004.ckpt.zip")
+        assert os.path.isfile(ckpt1)
+        for png in tmp_path.glob("r-*.png"):
+            png.rename(tmp_path / png.name.replace("r-", "orig-"))
+        # resume once, checkpointing again after 4 more frames (abs 8)
+        run_pipeline(Config(ckpt1), replace=True, checkpoint_every=4)
+        ckpt2 = str(tmp_path / "r-%03d_00008.ckpt.zip")
+        assert os.path.isfile(ckpt2), sorted(
+            p.name for p in tmp_path.glob("*.ckpt.zip"))
+        with zipfile.ZipFile(ckpt2) as z:
+            meta = json.loads(z.read("meta.json"))
+        assert meta["cursor"] == 8
+        for png in tmp_path.glob("r-*.png"):
+            png.rename(tmp_path / ("second-" + png.name))
+        # resume the second checkpoint: frame 8 must match the original run
+        run_pipeline(Config(ckpt2), replace=True)
+        resumed = cv2.imread(str(tmp_path / "r-008.png"))
+        original = cv2.imread(str(tmp_path / "orig-008.png"))
+        assert resumed is not None and original is not None
+        assert np.abs(resumed.astype(int) - original.astype(int)).max() == 0

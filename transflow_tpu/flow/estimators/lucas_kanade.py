@@ -52,6 +52,7 @@ def _lk_level(prev, nxt, flow, win_size: int, iters: int, eps: float):
         dv = (g11 * b2 - g12 * b1) * inv_det
         small = (du * du + dv * dv) < eps * eps
         du = jnp.where(small, 0.0, du)
+        dv = jnp.where(small, 0.0, dv)
         return flow + jnp.stack([du, dv], axis=-1)
 
     return jax.lax.fori_loop(0, iters, body, flow)

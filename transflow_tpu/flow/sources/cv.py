@@ -129,11 +129,21 @@ class CvFlowSource(FlowSource):
             return cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
         return cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
 
+    # beyond this many frames, use the container's frame seek instead of
+    # sequentially decoding the prefix (the reference re-decodes from 0,
+    # source cv.py:447-458 — O(n) per rewind)
+    FAST_SEEK_THRESHOLD = 300
+
     def _rewind_reader(self, frame_index: int):
         """Reposition so the PREVIOUS frame is frame_index (estimation pairs
         frames i and i+1); yields a priming frame on the next read."""
         if self.capture is None:
             return
+        if frame_index > self.FAST_SEEK_THRESHOLD:
+            self.capture.set(cv2.CAP_PROP_POS_FRAMES, frame_index)
+            if int(self.capture.get(cv2.CAP_PROP_POS_FRAMES)) == frame_index:
+                self._primed = False
+                return
         self.capture.set(cv2.CAP_PROP_POS_MSEC, 0)
         for _ in range(frame_index):
             self.capture.read()

@@ -68,7 +68,12 @@ class _GuiHTTPHandler(SimpleHTTPRequestHandler):
         path = urllib.parse.urlparse(path).path
         if path == "/":
             path = "/index.html"
-        return os.path.join(STATIC_DIR, path.lstrip("/"))
+        # sanitize: resolve and refuse anything escaping the static dir
+        resolved = os.path.realpath(
+            os.path.join(STATIC_DIR, path.lstrip("/")))
+        if os.path.commonpath([resolved, STATIC_DIR]) != STATIC_DIR:
+            return os.path.join(STATIC_DIR, "index.html")
+        return resolved
 
     def _respond(self, code: int, body: bytes, content_type: str):
         self.send_response(code)

@@ -105,6 +105,17 @@ class MjpegOutput(VideoOutput):
 
     def close(self):
         if self._loop is not None:
-            self._loop.call_soon_threadsafe(self._loop.stop)
+            loop = self._loop
+
+            def shutdown():
+                async def cleanup():
+                    if self._runner is not None:
+                        await self._runner.cleanup()
+                    loop.stop()
+                loop.create_task(cleanup())
+
+            loop.call_soon_threadsafe(shutdown)
             self._thread.join(timeout=5)
+            if not loop.is_running():
+                loop.close()
             self._loop = None

@@ -82,8 +82,20 @@ class _SourceThread(threading.Thread):
             except queue.Full:
                 pass
 
-    def get(self, timeout: float = 10.0):
-        item = self.queue.get(timeout=timeout)
+    def get(self, poll: float = 1.0):
+        """Block until an item arrives (stalls tolerated, like the
+        reference's mp.Queue consumers); fail only if the decode thread
+        died without delivering its end-of-stream sentinel."""
+        while True:
+            try:
+                item = self.queue.get(timeout=poll)
+                break
+            except queue.Empty:
+                if not self.is_alive() and self.queue.empty():
+                    if self.error is not None:
+                        raise self.error
+                    raise RuntimeError(
+                        f"{self.name} thread died without a sentinel")
         if item is self.SENTINEL:
             if self.error is not None:
                 raise self.error
@@ -188,6 +200,7 @@ class Pipeline:
         self.pixmap_sources: list[PixmapSource] = []
         self.pixmap_threads: list[Optional[_SourceThread]] = []
         self.output_threads: list[_OutputThread] = []
+        self.window_outputs: list = []  # fed on the main thread (cv2 GUI)
         self.flow_output: NumpyArchiveOutput | None = None
         self.engine: Engine | None = None
         self.ckpt_meta: dict = {}
@@ -412,6 +425,13 @@ class Pipeline:
                     output.output_path).with_suffix(".config.json")
                 with config_path.open("w") as file:
                     json.dump(self.config.todict(), file)
+            from .output.window import WindowOutput
+            if isinstance(output, WindowOutput):
+                # cv2 HighGUI must run on the main thread (macOS hard
+                # requirement, Qt/GTK flakiness); fed inline from _drain
+                output.open()
+                self.window_outputs.append(output)
+                continue
             thread = _OutputThread(output)
             thread.start()
             self.output_threads.append(thread)
@@ -449,8 +469,10 @@ class Pipeline:
             self.config.get_secondary_output_path(
                 f"_{base_cursor:05d}.ckpt.zip"), self.replace)
         output.write_meta({
+            # the ABSOLUTE cursor: a checkpoint of a resumed run must seek
+            # sources to base + cursor, not just this run's frame count
             "config": self.config.todict(),
-            "cursor": self.cursor,
+            "cursor": base_cursor,
             "framerate": self.fs_framerate,
             "timestamp": time.time(),
         })
@@ -521,6 +543,7 @@ class Pipeline:
         source_thread = self.flow_threads[0]
         pixmaps, _ = self._gather_pixmaps()
         done = False
+        pending = None  # item whose prime forced a chunk flush (repeat loop)
         while not done:
             if total is not None and self.cursor >= total:
                 break
@@ -530,6 +553,10 @@ class Pipeline:
             with timers.stage("decode_wait"):
                 want = batch if total is None else min(
                     batch, total - self.cursor)
+                if pending is not None:
+                    self.engine.runtimes[0].reset(pending.prime)
+                    grays.append(pending.array)
+                    pending = None
                 while len(grays) < want:
                     try:
                         item = source_thread.get()
@@ -537,19 +564,30 @@ class Pipeline:
                         done = True
                         break
                     if item.prime is not None:
+                        if grays:
+                            # a rewind landed mid-chunk (repeat loop): flush
+                            # what we have so the estimator chain resets at a
+                            # chunk boundary, matching the per-frame path
+                            pending = item
+                            break
                         self.engine.runtimes[0].reset(item.prime)
                     grays.append(item.array)
             if not grays:
                 break
             base = self.ckpt_meta.get("cursor", 0) + self.cursor
             with timers.stage("device_step"):
+                # frame numbers are run-relative like the per-frame path
+                # (_gather_pixmaps); t is absolute like the per-frame path
                 frames = self.engine.process_chunk(
-                    np.stack(grays), pixmaps, base / self.fs_framerate, base)
+                    np.stack(grays), pixmaps, base / self.fs_framerate,
+                    self.cursor)
             with timers.stage("drain"):
                 host_frames = np.asarray(frames)
                 for frame in host_frames:
                     for thread in self.output_threads:
                         thread.feed(frame)
+                    for window in self.window_outputs:
+                        window.feed(frame)
             previous_cursor = self.cursor
             self.cursor += len(grays)
             if bar is not None:
@@ -639,10 +677,12 @@ class Pipeline:
             if self.round_flow:
                 host_flow = np.round(host_flow).astype(int)
             self.flow_output.write_array(host_flow)
-        if self.output_threads:
+        if self.output_threads or self.window_outputs:
             host_frame = np.asarray(frame)
             for thread in self.output_threads:
                 thread.feed(host_frame)
+            for window in self.window_outputs:
+                window.feed(host_frame)
 
     def _close(self):
         for thread in self.flow_threads:
@@ -654,6 +694,11 @@ class Pipeline:
             thread.finish()
         for thread in self.output_threads:
             thread.join(timeout=30)
+        for window in self.window_outputs:
+            try:
+                window.close()
+            except Exception:  # noqa: BLE001
+                logger.exception("Window close failed")
         for source in self.flow_sources:
             source.close()
         for source in self.pixmap_sources:
