@@ -21,7 +21,7 @@ import numpy as np
 
 HEIGHT, WIDTH = 1080, 1920
 CHUNK = 16          # frames per device dispatch (lax.scan)
-CHUNKS_TIMED = 4
+CHUNKS_TIMED = 16
 CPU_FRAMES = 3      # enough to anchor the baseline; CPU is ~seconds/frame
 
 

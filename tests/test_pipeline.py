@@ -361,3 +361,23 @@ class TestDoubleResume:
         original = cv2.imread(str(tmp_path / "orig-008.png"))
         assert resumed is not None and original is not None
         assert np.abs(resumed.astype(int) - original.astype(int)).max() == 0
+
+
+class TestBatchedRepeat:
+
+    def test_batched_matches_per_frame_with_repeat(self, assets, tmp_path):
+        """Rewinds landing mid-chunk (repeat loops) flush the chunk so the
+        estimator chain matches the per-frame path exactly."""
+        outs = []
+        for idx, batch in enumerate([None, 8]):
+            out = str(tmp_path / f"rep{idx}-%03d.png")
+            cfg = Config(assets["video"], repeat=2, duration_time=0.7,
+                         output_path=out, vcodec="mjpeg",
+                         pixmap_sources=[PixmapSourceConfig(assets["image"])],
+                         seed=22, batch_frames=batch)
+            run_pipeline(cfg, replace=True)
+            outs.append(sorted(tmp_path.glob(f"rep{idx}-*.png")))
+        assert len(outs[0]) == len(outs[1]) == 14  # 2 x 7 flows
+        for a, b in zip(*outs):
+            fa, fb = cv2.imread(str(a)), cv2.imread(str(b))
+            assert np.array_equal(fa, fb), a.name
