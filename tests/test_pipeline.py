@@ -165,11 +165,39 @@ class TestFlowExport:
                       pixmap_sources=[PixmapSourceConfig("noise")], seed=7)
         pipeline2 = run_pipeline(cfg2, replace=True)
         assert pipeline2.cursor == 11
-        # same seed + identical (exported, already post-processed) flow
-        # should reproduce the run — compare last frames
+        # identical (exported, already post-processed and clipped) flow +
+        # same seed: the replay must reproduce the run exactly (the replay's
+        # post-process is idempotent: backward direction only re-clips)
         a = read_frames(out)
         b = read_frames(out2)
         assert len(a) == len(b)
+        for fa, fb in zip(a, b):
+            assert np.array_equal(fa, fb)
+
+    def test_batched_export_matches_per_frame(self, assets, tmp_path):
+        """--batch-frames flow export (flows stacked by the scan) must write
+        the same archive as the per-frame path."""
+        archives = []
+        for idx, batch in enumerate([None, 4]):
+            out = str(tmp_path / f"fe{idx}.avi")
+            cfg = Config(assets["video"], output_path=out, vcodec="mjpeg",
+                         pixmap_sources=[PixmapSourceConfig("noise")],
+                         seed=7, batch_frames=batch)
+            pipeline = run_pipeline(cfg, replace=True, export_flow=True)
+            if batch:
+                assert pipeline._batch_size == batch
+            archives.append(str(tmp_path / f"fe{idx}.flow.zip"))
+        with zipfile.ZipFile(archives[0]) as za, \
+                zipfile.ZipFile(archives[1]) as zb:
+            names = [n for n in za.namelist() if n.endswith(".npy")]
+            assert sorted(names) == sorted(
+                n for n in zb.namelist() if n.endswith(".npy"))
+            assert len(names) == 11
+            for name in names:
+                with za.open(name) as fa, zb.open(name) as fb:
+                    a = np.load(fa)
+                    b = np.load(fb)
+                assert np.array_equal(a, b), name
 
 
 class TestCheckpoint:

@@ -111,7 +111,8 @@ class Engine:
                  out_height: int,
                  out_width: int,
                  width_factor: int = 1,
-                 height_factor: int = 1):
+                 height_factor: int = 1,
+                 export_flows: bool = False):
         self.cfg = cfg
         self.out_height = out_height
         self.out_width = out_width
@@ -186,17 +187,21 @@ class Engine:
                 gray, t, subkey, fno = inputs
                 raw = estimator_step(prev_gray, gray, prev_flow)
                 frame_numbers = jax.tree.map(lambda _: fno, frame_numbers0)
-                comp_state, frame, _ = device_step(
+                comp_state, frame, flow = device_step(
                     comp_state, (raw,), t, pixmaps, subkey, frame_numbers,
                     params_list, pp_masks)
-                return (comp_state, gray, raw), frame
+                # export_flows is a static construction-time flag: flows are
+                # only stacked (K, H, W, 2 extra HBM + transfer) when a
+                # .flow.zip is actually being written
+                out = (frame, flow) if export_flows else (frame, ())
+                return (comp_state, gray, raw), out
 
             frame_numbers0 = tuple(
                 tuple(0 for _ in p.channel_counts) for p in layer_params)
-            (comp_state, prev_gray, prev_flow), frames = jax.lax.scan(
+            (comp_state, prev_gray, prev_flow), (frames, flows) = jax.lax.scan(
                 body, (comp_state, prev_gray, prev_flow),
                 (grays, ts, keys, frame_nos))
-            return comp_state, prev_gray, prev_flow, frames
+            return comp_state, prev_gray, prev_flow, frames, flows
 
         self._device_scan = jax.jit(device_scan, donate_argnums=(0, 1, 2))
         self._framerate = 30.0  # set by the pipeline before chunking
@@ -208,18 +213,20 @@ class Engine:
         """Process a stacked (K, H, W) chunk through one scanned dispatch.
 
         Only valid for a single frame-yielding flow source (the pipeline
-        gates on that); returns the K rendered frames as one device array."""
+        gates on that); returns the K rendered frames as one device array,
+        plus the K post-processed flows when the engine was built with
+        ``export_flows`` (else ``()``)."""
         runtime = self.runtimes[0]
         runtime._maybe_rejit()
         grays = jax.device_put(np.ascontiguousarray(gray_frames))
         self.key, sub = jax.random.split(self.key)
         (self.comp_state, runtime.prev_gray, runtime.prev_flow,
-         frames) = self._device_scan(
+         frames, flows) = self._device_scan(
             self.comp_state, runtime.prev_gray, runtime.prev_flow, grays,
             jnp.float32(t0), pixmaps, sub, jnp.int32(frame0),
             self.layer_params, self._pp_masks)
         runtime.last_raw = runtime.prev_flow
-        return frames
+        return frames, flows
 
     def process_frame(self, items: Sequence[FlowItem], pixmaps, t: float,
                       frame_numbers):

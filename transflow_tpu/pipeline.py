@@ -38,6 +38,7 @@ import jax
 from .compositor.core import make_layer_params
 from .config import Config
 from .engine import Engine
+from .flow import Direction
 from .flow.sources.base import FlowSource
 from .output.archive import NumpyArchiveOutput, ZipOutput
 from .output.video_output import VideoOutput
@@ -367,7 +368,8 @@ class Pipeline:
                                 for cfg in self.config.layers]
         self.engine = Engine(self.config, self.flow_sources, layer_params,
                              out_h, out_w, self.width_factor,
-                             self.height_factor)
+                             self.height_factor,
+                             export_flows=self.export_flow)
         self.engine._framerate = self.fs_framerate
         if self.ckpt_arrays:
             self.engine.load_state_arrays(self.ckpt_arrays)
@@ -394,7 +396,13 @@ class Pipeline:
             return
         path = self.config.get_secondary_output_path(".flow.zip")
         meta = {
-            "direction": self.config.direction.value,
+            # exported flows are post-processed, i.e. already converted to a
+            # backward mapping — stamp them as such so a replay only re-clips
+            # and reproduces the run exactly. (Intended-semantics deviation:
+            # the reference stamps the run's original direction,
+            # transflow/pipeline.py:375, so its replays re-apply the
+            # non-idempotent forward->backward conversion and diverge.)
+            "direction": Direction.BACKWARD.value,
             "width": self.fs_width * self.width_factor,
             "height": self.fs_height * self.height_factor,
             "framerate": self.fs_framerate,
@@ -524,8 +532,6 @@ class Pipeline:
         batch = self.config.batch_frames or 0
         if batch <= 1:
             return 1
-        if self.export_flow:
-            return 1  # flow export needs the per-frame path
         if len(self.flow_sources) != 1:
             return 1
         source = self.flow_sources[0]
@@ -578,10 +584,16 @@ class Pipeline:
             with timers.stage("device_step"):
                 # frame numbers are run-relative like the per-frame path
                 # (_gather_pixmaps); t is absolute like the per-frame path
-                frames = self.engine.process_chunk(
+                frames, flows = self.engine.process_chunk(
                     np.stack(grays), pixmaps, base / self.fs_framerate,
                     self.cursor)
             with timers.stage("drain"):
+                if self.flow_output is not None:
+                    host_flows = np.asarray(flows)
+                    if self.round_flow:
+                        host_flows = np.round(host_flows).astype(int)
+                    for flow in host_flows:
+                        self.flow_output.write_array(flow)
                 host_frames = np.asarray(frames)
                 for frame in host_frames:
                     for thread in self.output_threads:
