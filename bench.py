@@ -22,6 +22,9 @@ import numpy as np
 HEIGHT, WIDTH = 1080, 1920
 CHUNK = 16          # frames per device dispatch (lax.scan)
 CHUNKS_TIMED = 16
+REPEATS = 5         # median-of-N: the timed region is only a few ms of
+                    # device work, so a single tunnel/host hiccup would
+                    # otherwise swing the number by tens of percent
 CPU_FRAMES = 3      # enough to anchor the baseline; CPU is ~seconds/frame
 
 
@@ -65,14 +68,16 @@ def bench_tpu() -> float:
                                   key)
     jax.block_until_ready(rgbs)
     # timed: state threads through chunks like the real pipeline
-    start = time.perf_counter()
+    samples = []
     current = state2
-    for i in range(CHUNKS_TIMED):
-        current, rgbs = model.jit_scan(current, grays, pixmaps,
-                                       jnp.float32(i), key)
-    jax.block_until_ready(rgbs)
-    elapsed = time.perf_counter() - start
-    return CHUNK * CHUNKS_TIMED / elapsed
+    for rep in range(REPEATS):
+        start = time.perf_counter()
+        for i in range(CHUNKS_TIMED):
+            current, rgbs = model.jit_scan(current, grays, pixmaps,
+                                           jnp.float32(i), key)
+        jax.block_until_ready(rgbs)
+        samples.append(time.perf_counter() - start)
+    return CHUNK * CHUNKS_TIMED / float(np.median(samples))
 
 
 def bench_cpu_reference() -> float:
