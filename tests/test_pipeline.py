@@ -247,6 +247,34 @@ class TestBatchedMode:
             assert np.array_equal(fa, fb), a.name
 
 
+class TestLiteFlowNetPipeline:
+
+    def test_liteflownet_batched_matches_per_frame(self, assets, tmp_path,
+                                                   monkeypatch):
+        """The CNN estimator (RGB frames, weights inlined at trace time)
+        must run through both pipeline paths and agree exactly."""
+        monkeypatch.setenv("TRANSFLOW_LITEFLOWNET_RANDOM", "1")
+        cv_cfg = str(tmp_path / "cv.json")
+        with open(cv_cfg, "w") as file:
+            json.dump({"method": "liteflownet"}, file)
+        outs = []
+        for idx, batch in enumerate([None, 4]):
+            out = str(tmp_path / f"lfn{idx}-%03d.png")
+            cfg = Config(assets["video"], output_path=out, vcodec="mjpeg",
+                         cv_config=cv_cfg,
+                         pixmap_sources=[PixmapSourceConfig(assets["image"])],
+                         seed=31, batch_frames=batch)
+            pipeline = run_pipeline(cfg, replace=True)
+            if batch:
+                assert pipeline._batch_size == batch
+            outs.append(sorted(tmp_path.glob(f"lfn{idx}-*.png")))
+        assert len(outs[0]) == len(outs[1]) == 11
+        for a, b in zip(*outs):
+            fa = cv2.imread(str(a))
+            fb = cv2.imread(str(b))
+            assert np.array_equal(fa, fb), a.name
+
+
 class TestMultiFlow:
 
     def test_extra_flows_merge(self, assets, tmp_path):

@@ -82,22 +82,43 @@ class SourceRuntime:
 
 def make_estimator_step(method: str, estimator_kwargs: dict,
                         direction: Direction):
-    """Jitted (prev_gray, gray, prev_flow) -> raw flow for one source.
+    """(prev_gray, gray, prev_flow) -> raw flow for one source.
 
     Frame ordering parity: transflow/flow/sources/cv.py:467-474 (forward
-    pairs (prev, next); backward pairs (next, prev))."""
-    estimator = get_estimator(method)
+    pairs (prev, next); backward pairs (next, prev)).
 
-    @jax.jit
-    def step(prev_gray, gray, prev_flow):
+    The returned callable is jitted for per-frame use. Model weights (the
+    CNN estimator) travel as the ``step.params`` pytree and are passed as
+    jit ARGUMENTS — baked-in literals compile to a ~7x slower program, and
+    closure-captured device buffers re-sync per call. The chunk scan calls
+    the un-jitted ``step.fn(prev, gray, prev_flow, params)`` and threads
+    ``step.params`` through its own program arguments for the same
+    reason."""
+    estimator = get_estimator(method)
+    if method == "liteflownet":
+        from .flow.estimators.liteflownet import get_weights
+        est_params = get_weights()
+    else:
+        est_params = ()
+
+    def fn(prev_gray, gray, prev_flow, params):
         if direction == Direction.FORWARD:
             left, right = prev_gray, gray
         else:
             left, right = gray, prev_gray
         if method in ("farneback", "horn-schunck"):
             return estimator(left, right, prev_flow, **estimator_kwargs)
+        if method == "liteflownet":
+            return estimator(left, right, params=params)
         return estimator(left, right, **estimator_kwargs)
 
+    jitted = jax.jit(fn)
+
+    def step(prev_gray, gray, prev_flow):
+        return jitted(prev_gray, gray, prev_flow, step.params)
+
+    step.fn = fn
+    step.params = est_params
     return step
 
 
@@ -170,7 +191,8 @@ class Engine:
         self._device_step = jax.jit(device_step, donate_argnums=(0,))
 
         def device_scan(comp_state, prev_gray, prev_flow, grays, t0,
-                        pixmaps, key, frame0, params_list, pp_masks):
+                        pixmaps, key, frame0, params_list, pp_masks,
+                        est_params):
             """lax.scan over a (K, H, W) chunk — single frame-source fast
             path; one dispatch per chunk instead of per frame."""
             # NOTE: bound at trace time — chunked mode does not follow live
@@ -185,7 +207,9 @@ class Engine:
             def body(carry, inputs):
                 comp_state, prev_gray, prev_flow = carry
                 gray, t, subkey, fno = inputs
-                raw = estimator_step(prev_gray, gray, prev_flow)
+                # weights as scan-program args, not trace constants
+                raw = estimator_step.fn(prev_gray, gray, prev_flow,
+                                        est_params)
                 frame_numbers = jax.tree.map(lambda _: fno, frame_numbers0)
                 comp_state, frame, flow = device_step(
                     comp_state, (raw,), t, pixmaps, subkey, frame_numbers,
@@ -224,7 +248,8 @@ class Engine:
          frames, flows) = self._device_scan(
             self.comp_state, runtime.prev_gray, runtime.prev_flow, grays,
             jnp.float32(t0), pixmaps, sub, jnp.int32(frame0),
-            self.layer_params, self._pp_masks)
+            self.layer_params, self._pp_masks,
+            runtime.estimator_step.params)
         runtime.last_raw = runtime.prev_flow
         return frames, flows
 

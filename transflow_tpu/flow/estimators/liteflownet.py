@@ -343,24 +343,46 @@ WEIGHTS_ENV = "TRANSFLOW_LITEFLOWNET_WEIGHTS"
 _CACHE: dict = {}
 
 
-def _get_variables(shape_hint, allow_random: bool):
-    if "variables" in _CACHE:
-        return _CACHE["variables"]
-    path = os.environ.get(WEIGHTS_ENV)
-    if path and os.path.isfile(path):
-        variables = load_torch_weights(path)
-    elif allow_random or os.environ.get("TRANSFLOW_LITEFLOWNET_RANDOM"):
-        model = LiteFlowNet()
-        dummy = jnp.zeros((64, 64, 3), jnp.float32)
-        variables = model.init(jax.random.key(0), dummy, dummy)
-    else:
-        raise FileNotFoundError(
-            "LiteFlowNet weights not found. Download "
-            "network-default.pytorch (sniklaus/pytorch-liteflownet) and "
-            f"point {WEIGHTS_ENV} at it, or set "
-            "TRANSFLOW_LITEFLOWNET_RANDOM=1 for random weights.")
-    _CACHE["variables"] = variables
-    return variables
+def _get_variables(shape_hint, allow_random: bool, *, as_numpy: bool = False):
+    """Weights in two forms: numpy leaves (baked as program literals when
+    tracing into an outer jit) and device leaves (passed as args to _run).
+
+    Closure-captured *device* arrays inside a jit re-sync to the device on
+    every call in this environment (~21 MB of weights = milliseconds per
+    frame); numpy closures bake into the executable once. Conversely, numpy
+    leaves passed as jit *args* re-upload per call — so the direct path
+    wants the device copy."""
+    if "np" not in _CACHE:
+        path = os.environ.get(WEIGHTS_ENV)
+        if path and os.path.isfile(path):
+            variables = load_torch_weights(path)
+        elif allow_random or os.environ.get("TRANSFLOW_LITEFLOWNET_RANDOM"):
+            # deterministic host-side random weights (tests only). Shapes
+            # come from eval_shape — abstract, so this is safe both eagerly
+            # and when first reached while tracing an outer jit (running
+            # model.init for real there would either leak tracers into the
+            # cache or, under compile-time eval, concretize the pallas
+            # kernel's closure scalars)
+            model = LiteFlowNet()
+            dummy = np.zeros((64, 64, 3), np.float32)
+            shapes = jax.eval_shape(
+                lambda: model.init(jax.random.key(0), dummy, dummy))
+            host_rng = np.random.default_rng(0)
+            variables = jax.tree.map(
+                lambda s: (0.02 * host_rng.standard_normal(s.shape))
+                .astype(s.dtype), shapes)
+        else:
+            raise FileNotFoundError(
+                "LiteFlowNet weights not found. Download "
+                "network-default.pytorch (sniklaus/pytorch-liteflownet) and "
+                f"point {WEIGHTS_ENV} at it, or set "
+                "TRANSFLOW_LITEFLOWNET_RANDOM=1 for random weights.")
+        _CACHE["np"] = jax.tree.map(np.asarray, variables)
+    if as_numpy:
+        return _CACHE["np"]
+    if "dev" not in _CACHE:
+        _CACHE["dev"] = jax.tree.map(jnp.asarray, _CACHE["np"])
+    return _CACHE["dev"]
 
 
 @jax.jit
@@ -368,26 +390,45 @@ def _run(variables, img1, img2):
     return LiteFlowNet().apply(variables, img1, img2)
 
 
+def get_weights(allow_random: bool = False):
+    """Device-resident weights pytree, for threading through an outer jit
+    (the engine passes this as a proper argument of its step/scan programs —
+    see ``liteflownet(..., params=...)``)."""
+    return _get_variables(None, allow_random)
+
+
 def liteflownet(prev_gray_or_rgb, next_gray_or_rgb, *,
-                allow_random: bool = False):
+                allow_random: bool = False, params=None):
     """Estimate (H, W, 2) flow. Accepts RGB (H, W, 3) or grayscale uint8.
 
     Parity: liteflownet.py:614-647 (estimate + calc_optical_flow_...):
     pad to /32 via bilinear resize, run, resize back, rescale magnitudes.
-    NOTE: the reference feeds BGR (frame[:, :, ::-1]); we match."""
+    NOTE: the reference feeds BGR (frame[:, :, ::-1]); we match.
+
+    ``params``: pass the weights pytree explicitly when calling from inside
+    an outer jit (engine step / chunk scan) so they stay program ARGUMENTS.
+    Measured at 1088p: weights as args 31 ms/frame; the same network with
+    weights baked as program literals 203 ms — XLA handles large constants
+    badly. Without ``params``, a traced call falls back to baking the
+    (numpy) weights as literals: correct, but slow."""
     img1 = _to_rgb01(prev_gray_or_rgb)
     img2 = _to_rgb01(next_gray_or_rgb)
     h, w = img1.shape[:2]
     ph = int(np.ceil(h / 32.0) * 32)
     pw = int(np.ceil(w / 32.0) * 32)
-    variables = _get_variables((ph, pw), allow_random)
+    traced = isinstance(img1, jax.core.Tracer)
+    if params is None:
+        params = _get_variables((ph, pw), allow_random, as_numpy=traced)
     if (ph, pw) != (h, w):
         img1 = bilinear_resize(img1, ph, pw)
         img2 = bilinear_resize(img2, ph, pw)
     # the network emits flow on the level-2 (half-res) grid in full-res pixel
     # units; resize to the caller's resolution and rescale magnitudes
     # (liteflownet.py:631-634)
-    flow = _run(variables, img1, img2)
+    if traced:
+        flow = LiteFlowNet().apply(params, img1, img2)
+    else:
+        flow = _run(params, img1, img2)
     flow = bilinear_resize(flow, h, w)
     flow = flow * jnp.asarray([w / pw, h / ph], dtype=jnp.float32)
     return flow
