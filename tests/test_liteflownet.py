@@ -181,3 +181,35 @@ class TestPallasCorrelation:
             got = np.asarray(pallas_correlation7x7(f1, f2, stride=s,
                                                    interpret=True))
             np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+class TestModelIntegration:
+    """FlowTransferModel with the CNN estimator: weights must thread through
+    the fused scan as program arguments (engine.make_estimator_step has the
+    on-chip measurements) and agree with the per-step path."""
+
+    def test_scan_matches_steps(self, monkeypatch):
+        monkeypatch.setenv("TRANSFLOW_LITEFLOWNET_RANDOM", "1")
+        import jax
+        import jax.numpy as jnp
+        from transflow_tpu.model import FlowTransferModel
+        model = FlowTransferModel(64, 96, method="liteflownet")
+        rng = np.random.default_rng(5)
+        frames = rng.integers(0, 256, (4, 64, 96), dtype=np.uint8)
+        pixmaps = model.default_pixmaps()
+        key = jax.random.key(7)
+        state = model.init_state(frames[0])
+        _, rgbs = model.jit_scan(state, jnp.asarray(frames[1:]), pixmaps,
+                                 jnp.float32(0.0), key)
+        assert rgbs.shape == (3, 64, 96, 3) and rgbs.dtype == jnp.uint8
+        # per-step replay with the same keys
+        state2 = model.init_state(frames[0])
+        keys = jax.random.split(key, 3)
+        outs = []
+        for i in range(3):
+            state2, rgb = model.jit_step(
+                state2, jnp.asarray(frames[1 + i]), pixmaps,
+                jnp.float32(i / model.framerate), keys[i],
+                model.default_frame_numbers(i))
+            outs.append(np.asarray(rgb))
+        np.testing.assert_array_equal(np.asarray(rgbs), np.stack(outs))

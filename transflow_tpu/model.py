@@ -63,12 +63,22 @@ class FlowTransferModel:
         merge = get_merge_function("first")
         wf, hf = width_factor, height_factor
         takes_prev = method in ("farneback", "horn-schunck")
+        # CNN weights travel as program arguments (engine.make_estimator_step
+        # has the measurements: literals/closure-captured buffers are 7x+
+        # slower); () for the classic estimators
+        if method == "liteflownet":
+            from .flow.estimators.liteflownet import get_weights
+            self.est_params = get_weights()
+        else:
+            self.est_params = ()
 
-        def estimate(prev_gray, gray, prev_flow):
+        def estimate(prev_gray, gray, prev_flow, est_params):
             if direction == Direction.FORWARD:
                 left, right = prev_gray, gray
             else:
                 left, right = gray, prev_gray
+            if method == "liteflownet":
+                return estimator(left, right, params=est_params)
             if takes_prev:
                 return estimator(left, right, prev_flow, **estimator_kwargs)
             return estimator(left, right, **estimator_kwargs)
@@ -77,8 +87,9 @@ class FlowTransferModel:
                         else jax.device_put(postprocess.mask))
 
         def step(state, gray, pixmaps, t, key, frame_numbers, params_list,
-                 pp_mask=None):
-            raw = estimate(state["prev_gray"], gray, state["prev_flow"])
+                 pp_mask=None, est_params=()):
+            raw = estimate(state["prev_gray"], gray, state["prev_flow"],
+                           est_params)
             flow = merge([postprocess(raw, t, pp_mask)])
             if wf != 1 or hf != 1:
                 flow = upscale_flow(flow, wf, hf)
@@ -114,7 +125,7 @@ class FlowTransferModel:
                      for params in self.layer_params)
 
     def step(self, state, gray, pixmaps, t, key, frame_numbers,
-             params_list=None, pp_mask=None):
+             params_list=None, pp_mask=None, est_params=None):
         """Pure single-frame step (jit-able). ``params_list`` defaults to the
         model's own LayerParams — pass it explicitly under jit so the mask
         arrays travel as arguments (see LayerParams docstring)."""
@@ -122,23 +133,26 @@ class FlowTransferModel:
             params_list = self.layer_params
         if pp_mask is None:
             pp_mask = self.pp_mask
+        if est_params is None:
+            est_params = self.est_params
         return self._step(state, gray, pixmaps, t, key, frame_numbers,
-                          params_list, pp_mask)
+                          params_list, pp_mask, est_params)
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _jit_step(self, state, gray, pixmaps, t, key, frame_numbers,
-                  params_list, pp_mask):
+                  params_list, pp_mask, est_params):
         return self._step(state, gray, pixmaps, t, key, frame_numbers,
-                          params_list, pp_mask)
+                          params_list, pp_mask, est_params)
 
     def jit_step(self, state, gray, pixmaps, t, key, frame_numbers):
         # layer params enter as jit arguments, NOT via the static self
         # (attribute reads during tracing would bake them in as constants)
         return self._jit_step(state, gray, pixmaps, t, key, frame_numbers,
-                              self.layer_params, self.pp_mask)
+                              self.layer_params, self.pp_mask,
+                              self.est_params)
 
     def scan(self, state, grays, pixmaps, t0, key, params_list=None,
-             pp_mask=None, frame0: int = 0):
+             pp_mask=None, frame0: int = 0, est_params=None):
         """Process a (K, H, W) chunk of frames in one fused device program.
 
         The temporal recurrence is sequential (state(t) depends on t-1,
@@ -148,6 +162,8 @@ class FlowTransferModel:
             params_list = self.layer_params
         if pp_mask is None:
             pp_mask = self.pp_mask
+        if est_params is None:
+            est_params = self.est_params
         k = grays.shape[0]
         keys = jax.random.split(key, k)
         ts = t0 + jnp.arange(k, dtype=jnp.float32) / self.framerate
@@ -158,17 +174,19 @@ class FlowTransferModel:
             frame_numbers = tuple(tuple(fno for _ in p.channel_counts)
                                   for p in self.layer_params)
             new_state, rgb = self._step(carry, gray, pixmaps, t, subkey,
-                                        frame_numbers, params_list, pp_mask)
+                                        frame_numbers, params_list, pp_mask,
+                                        est_params)
             return new_state, rgb
 
         return jax.lax.scan(body, state, (grays, ts, keys, frame_nos))
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def _jit_scan(self, state, grays, pixmaps, t0, key, params_list,
-                  pp_mask):
+                  pp_mask, est_params):
         return self.scan(state, grays, pixmaps, t0, key, params_list,
-                         pp_mask)
+                         pp_mask, est_params=est_params)
 
     def jit_scan(self, state, grays, pixmaps, t0, key):
         return self._jit_scan(state, grays, pixmaps, t0, key,
-                              self.layer_params, self.pp_mask)
+                              self.layer_params, self.pp_mask,
+                              self.est_params)

@@ -93,14 +93,17 @@ def sharded_scan(model, mesh: Mesh):
         return pixmap_spec(leaf_ndim)
 
     @jax.jit
-    def run(state, grays, pixmaps, t0, keys, params_list, pp_mask):
+    def run(state, grays, pixmaps, t0, keys, params_list, pp_mask,
+            est_params):
         state = constrained(state, state_spec)
         grays = constrained(grays, frames_spec)
         pixmaps = constrained(pixmaps, pixmap_spec)
         params_list = constrained(params_list, params_spec)
+        # estimator weights: replicated across the mesh (small per-leaf)
+        est_params = constrained(est_params, lambda nd: P())
         new_state, rgbs = jax.vmap(
             lambda s, g, k: model.scan(s, g, pixmaps, t0, k, params_list,
-                                       pp_mask)
+                                       pp_mask, est_params=est_params)
         )(state, grays, keys)
         new_state = constrained(new_state, state_spec)
         rgbs = constrained(rgbs, frames_spec)
@@ -108,6 +111,6 @@ def sharded_scan(model, mesh: Mesh):
 
     def wrapped(state, grays, pixmaps, t0, keys):
         return run(state, grays, pixmaps, t0, keys, model.layer_params,
-                   model.pp_mask)
+                   model.pp_mask, getattr(model, "est_params", ()))
 
     return wrapped
