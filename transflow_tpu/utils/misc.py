@@ -3,6 +3,7 @@
 Parity reference: transflow/utils.py:147-160 (find_unique_path),
 :384-390 (startfile), :393-406 (parse_timestamp).
 """
+import logging
 import os
 import re
 import subprocess
@@ -44,12 +45,17 @@ def parse_timestamp(timestamp: str | float | int | None) -> float | None:
 
 
 def startfile(path: str):
-    """Open a file with the platform's default application."""
-    if sys.platform == "win32":
-        os.startfile(os.path.realpath(path))  # noqa  (windows only)
-    else:
-        opener = "open" if sys.platform == "darwin" else "xdg-open"
-        subprocess.call([opener, os.path.realpath(path)])
+    """Open a file with the platform's default application. Best-effort:
+    a missing opener (headless box without xdg-open) logs, never raises."""
+    try:
+        if sys.platform == "win32":
+            os.startfile(os.path.realpath(path))  # noqa  (windows only)
+        else:
+            opener = "open" if sys.platform == "darwin" else "xdg-open"
+            subprocess.call([opener, os.path.realpath(path)])
+    except OSError as exc:
+        logging.getLogger(__name__).warning(
+            "could not open %s with the system opener: %s", path, exc)
 
 
 def parse_size(size) -> tuple[int, int] | None:
