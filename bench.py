@@ -2,29 +2,39 @@
 on one TPU chip, vs the reference's CPU pipeline (OpenCV Farneback + numpy
 compositor) on this host.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 BASELINE.md target: >= 500 fps at 1080p, >= 50x the CPU reference.
+
+Methodology: the timed region is CHUNKS_TIMED chained 16-frame lax.scan
+dispatches (state threads through like the real pipeline). Early dispatches
+after compile run far below steady state (cold caches, allocator, tunnel),
+so we WARM UP until two consecutive region timings agree within 10% (capped),
+then report the median of REPEATS steady-state samples. Alongside fps the
+JSON carries ms/frame, a per-stage breakdown (estimator vs compositor), and
+a lower-bound HBM bandwidth figure derived from the bytes the recurrent
+state + frame IO provably moves per frame.
 """
 import json
 import os
-import sys
 import time
+
+import numpy as np
 
 # Persistent compilation cache: the 1080p program is large and this
 # environment compiles through a remote service — cache across runs.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# Must go through jax.config (sitecustomize imports jax at interpreter
+# startup, so env vars set here are too late).
+import transflow_tpu
 
-import numpy as np
+transflow_tpu.enable_compile_cache(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 HEIGHT, WIDTH = 1080, 1920
 CHUNK = 16          # frames per device dispatch (lax.scan)
 CHUNKS_TIMED = 16
-REPEATS = 5         # median-of-N: the timed region is only a few ms of
-                    # device work, so a single tunnel/host hiccup would
-                    # otherwise swing the number by tens of percent
+REPEATS = 5         # median-of-N steady-state samples
+WARMUP_TOL = 0.10   # two consecutive warmup regions within 10% => steady
+WARMUP_MAX = 10     # cap warmup rounds (each is a full timed region)
 CPU_FRAMES = 3      # enough to anchor the baseline; CPU is ~seconds/frame
 
 
@@ -43,7 +53,19 @@ def make_frames(n, seed=0):
     return np.stack(frames)
 
 
-def bench_tpu() -> float:
+def _steady_state(region, repeats=REPEATS):
+    """Warm up `region` (a 0-arg callable returning elapsed seconds) until
+    two consecutive timings agree within WARMUP_TOL, then median repeats."""
+    prev = region()
+    for _ in range(WARMUP_MAX):
+        cur = region()
+        if abs(cur - prev) / min(cur, prev) <= WARMUP_TOL:
+            break
+        prev = cur
+    return float(np.median([region() for _ in range(repeats)]))
+
+
+def bench_tpu() -> dict:
     import jax
     import jax.numpy as jnp
     from transflow_tpu.config import LayerConfig
@@ -63,21 +85,95 @@ def bench_tpu() -> float:
     pixmaps = model.default_pixmaps()
     key = jax.random.key(0)
 
-    # warmup/compile
+    # Bytes the full step provably moves per frame: recurrent state read +
+    # written (comp data, prev_gray, prev_flow), one gray frame in, one rgb
+    # frame out, one pixmap gather. Lower bound — the estimator pyramid
+    # moves more internally (XLA fuses most of it into VMEM).
+    state_bytes = sum(x.nbytes for x in jax.tree.leaves(state))
+    pixmap_bytes = sum(x.nbytes for p in pixmaps for x in p)
+    bytes_per_frame = (2 * state_bytes + HEIGHT * WIDTH  # gray in
+                       + 3 * HEIGHT * WIDTH              # rgb out
+                       + pixmap_bytes)                   # gather traffic
+
+    # compile
     state2, rgbs = model.jit_scan(state, grays, pixmaps, jnp.float32(0.0),
                                   key)
     jax.block_until_ready(rgbs)
-    # timed: state threads through chunks like the real pipeline
-    samples = []
-    current = state2
-    for rep in range(REPEATS):
+    holder = {"state": state2}
+
+    def region():
         start = time.perf_counter()
+        current, rgbs = holder["state"], None
         for i in range(CHUNKS_TIMED):
             current, rgbs = model.jit_scan(current, grays, pixmaps,
                                            jnp.float32(i), key)
         jax.block_until_ready(rgbs)
-        samples.append(time.perf_counter() - start)
-    return CHUNK * CHUNKS_TIMED / float(np.median(samples))
+        holder["state"] = current
+        return time.perf_counter() - start
+
+    elapsed = _steady_state(region)
+    frames_timed = CHUNK * CHUNKS_TIMED
+    fps = frames_timed / elapsed
+    ms_per_frame = 1000.0 * elapsed / frames_timed
+
+    # --- stage breakdown (per frame, steady-state, separate jits) -------
+    gray0 = jnp.asarray(frames[0])
+    gray1 = jnp.asarray(frames[1])
+    prev_flow = jnp.zeros((HEIGHT, WIDTH, 2), jnp.float32)
+    from transflow_tpu.flow.estimators import get_estimator
+    est = jax.jit(lambda a, b, pf: get_estimator("farneback")(a, b, pf))
+    flow0 = est(gray1, gray0, prev_flow)
+    jax.block_until_ready(flow0)
+
+    def est_region():
+        start = time.perf_counter()
+        out = None
+        for _ in range(CHUNKS_TIMED):
+            out = est(gray1, gray0, prev_flow)
+        jax.block_until_ready(out)
+        return time.perf_counter() - start
+
+    est_ms = 1000.0 * _steady_state(est_region, repeats=3) / CHUNKS_TIMED
+
+    frame_numbers = model.default_frame_numbers()
+
+    # pixmaps / layer params / frame numbers travel as ARGUMENTS: baking
+    # them as closure constants puts megabytes of literals in the program
+    # (the round-1 pathological slow path — see model.py docstrings)
+    @jax.jit
+    def comp_step(comp, flow, k, pixmaps, frame_numbers, params_list):
+        comp = model._comp_step.update(comp, flow, pixmaps, k,
+                                       frame_numbers, params_list)
+        return model._comp_step.render(comp, params_list)
+
+    def comp_call(comp, k):
+        return comp_step(comp, flow0, k, pixmaps, frame_numbers,
+                         model.layer_params)
+
+    # fresh state: the original was donated into jit_scan's first dispatch
+    comp_fresh = model.init_state(frames[0])["comp"]
+    comp0, rgb0 = comp_call(comp_fresh, key)
+    jax.block_until_ready(rgb0)
+
+    def comp_region():
+        start = time.perf_counter()
+        comp, rgb = comp0, None
+        for _ in range(CHUNKS_TIMED):
+            comp, rgb = comp_call(comp, key)
+        jax.block_until_ready(rgb)
+        return time.perf_counter() - start
+
+    comp_ms = 1000.0 * _steady_state(comp_region, repeats=3) / CHUNKS_TIMED
+
+    return {
+        "fps": fps,
+        "ms_per_frame": ms_per_frame,
+        "stage_ms": {"estimator": round(est_ms, 4),
+                     "compositor_render": round(comp_ms, 4),
+                     "fused_total": round(ms_per_frame, 4)},
+        "hbm_gbps_lower_bound": round(bytes_per_frame * fps / 1e9, 1),
+        "bytes_per_frame": int(bytes_per_frame),
+    }
 
 
 def bench_cpu_reference() -> float:
@@ -132,12 +228,16 @@ def main():
                            "width": WIDTH, "timestamp": time.time()}, file)
         except OSError:
             pass
-    tpu_fps = bench_tpu()
+    tpu = bench_tpu()
     print(json.dumps({
         "metric": "1080p_e2e_fps_flow_warp_composite",
-        "value": round(tpu_fps, 2),
+        "value": round(tpu["fps"], 2),
         "unit": "frames/sec",
-        "vs_baseline": round(tpu_fps / cpu_fps, 2),
+        "vs_baseline": round(tpu["fps"] / cpu_fps, 2),
+        "ms_per_frame": round(tpu["ms_per_frame"], 4),
+        "stage_ms": tpu["stage_ms"],
+        "hbm_gbps_lower_bound": tpu["hbm_gbps_lower_bound"],
+        "cpu_reference_fps": round(cpu_fps, 3),
     }))
 
 

@@ -107,3 +107,63 @@ def test_interrupt_without_job(server):
         ws.send("INTERRUPT")  # no job: must not crash the server
         ws.send("RELOAD")
         assert ws.recv(timeout=10) == "RELOADING"
+
+
+def test_file_dialog_round_trip_or_headless_error(server):
+    """FILE_OPEN must answer: 'FILE <key> <path>' with a display, or a clear
+    ERROR when headless (the reference's tkinter dialogs need one too)."""
+    import websockets.sync.client
+    with websockets.sync.client.connect(
+            f"ws://127.0.0.1:{server.ws_port}") as ws:
+        ws.send("FILE_OPEN flow_path")
+        message = ws.recv(timeout=15)
+        assert (message.startswith("FILE flow_path ")
+                or message.startswith("ERROR file dialog unavailable"))
+
+
+def test_media_full_and_suffix_range(server, test_video):
+    import os
+    size = os.path.getsize(test_video)
+    # no Range header: full body, 200
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/media?path={test_video}",
+            timeout=5) as resp:
+        assert resp.status == 200
+        assert len(resp.read()) == size
+    # open-ended range: from offset to EOF
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/media?path={test_video}",
+        headers={"Range": f"bytes={size - 50}-"})
+    with urllib.request.urlopen(req, timeout=5) as resp:
+        assert resp.status == 206
+        assert resp.headers["Content-Range"] == \
+            f"bytes {size - 50}-{size - 1}/{size}"
+        assert len(resp.read()) == 50
+
+
+def test_media_missing_file(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/media?path=/nope/missing.mp4")
+    try:
+        urllib.request.urlopen(req, timeout=5)
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as err:
+        assert err.code == 404
+
+
+def test_client_grid_limits_declared():
+    """The client enforces the reference's 5x5 layer/source grid
+    (master.js:80-88)."""
+    import os
+    static = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "transflow_tpu", "gui", "static")
+    app = open(os.path.join(static, "app.js"), encoding="utf8").read()
+    assert "MAX_LAYERS = 5" in app
+    assert "MAX_PIXMAPS = 5" in app
+    for feature in ["FILE_OPEN", "FILE_SAVE", "applyFile", "/media?path=",
+                    "media_video", "requestFile"]:
+        assert feature in app, feature
+    index = open(os.path.join(static, "index.html"), encoding="utf8").read()
+    for element in ["browse_flow", "browse_output", "media_video",
+                    "media_image"]:
+        assert element in index, element

@@ -7,6 +7,82 @@ import pytest
 from transflow_tpu.ops.correlation import correlation7x7
 
 
+def build_synthetic_state() -> dict:
+    """A numpy state dict with the sniklaus layout (every key and torch-side
+    shape of network-default.pytorch, zeros). Shared with
+    test_liteflownet_parity.py's end-to-end checkpoint test."""
+    state = {}
+
+    def conv(i, o, k):
+        if isinstance(k, int):
+            k = (k, k)
+        return {"weight": np.zeros((o, i) + k, np.float32),
+                "bias": np.zeros(o, np.float32)}
+
+    def put(prefix, d):
+        for key, value in d.items():
+            state[f"{prefix}.{key}"] = value
+
+    put("netFeatures.netOne.0", conv(3, 32, 7))
+    put("netFeatures.netTwo.0", conv(32, 32, 3))
+    put("netFeatures.netTwo.2", conv(32, 32, 3))
+    put("netFeatures.netTwo.4", conv(32, 32, 3))
+    put("netFeatures.netThr.0", conv(32, 64, 3))
+    put("netFeatures.netThr.2", conv(64, 64, 3))
+    put("netFeatures.netFou.0", conv(64, 96, 3))
+    put("netFeatures.netFou.2", conv(96, 96, 3))
+    put("netFeatures.netFiv.0", conv(96, 128, 3))
+    put("netFeatures.netSix.0", conv(128, 192, 3))
+    kernels = {2: 7, 3: 5, 4: 5, 5: 3, 6: 3}
+    dist_ch = {2: 49, 3: 25, 4: 25, 5: 9, 6: 9}
+    feat_ch = {2: 32, 3: 64, 4: 96, 5: 128, 6: 192}
+    sub_in = {2: 130, 3: 130, 4: 194, 5: 258, 6: 386}
+    reg_in = {2: 131, 3: 131, 4: 131, 5: 131, 6: 195}
+    for idx, lvl in enumerate((2, 3, 4, 5, 6)):
+        k = kernels[lvl]
+        if lvl == 2:
+            put(f"netMatching.{idx}.netFeat.0", conv(32, 64, 1))
+            put(f"netSubpixel.{idx}.netFeat.0", conv(32, 64, 1))
+        if lvl != 6:
+            state[f"netMatching.{idx}.netUpflow.weight"] = \
+                np.zeros((2, 1, 4, 4), np.float32)
+        if lvl < 4:
+            state[f"netMatching.{idx}.netUpcorr.weight"] = \
+                np.zeros((49, 1, 4, 4), np.float32)
+        put(f"netMatching.{idx}.netMain.0", conv(49, 128, 3))
+        put(f"netMatching.{idx}.netMain.2", conv(128, 64, 3))
+        put(f"netMatching.{idx}.netMain.4", conv(64, 32, 3))
+        put(f"netMatching.{idx}.netMain.6", conv(32, 2, k))
+        put(f"netSubpixel.{idx}.netMain.0", conv(sub_in[lvl], 128, 3))
+        put(f"netSubpixel.{idx}.netMain.2", conv(128, 64, 3))
+        put(f"netSubpixel.{idx}.netMain.4", conv(64, 32, 3))
+        put(f"netSubpixel.{idx}.netMain.6", conv(32, 2, k))
+        if lvl < 5:
+            put(f"netRegularization.{idx}.netFeat.0",
+                conv(feat_ch[lvl], 128, 1))
+        put(f"netRegularization.{idx}.netMain.0", conv(reg_in[lvl], 128, 3))
+        put(f"netRegularization.{idx}.netMain.2", conv(128, 128, 3))
+        put(f"netRegularization.{idx}.netMain.4", conv(128, 64, 3))
+        put(f"netRegularization.{idx}.netMain.6", conv(64, 64, 3))
+        put(f"netRegularization.{idx}.netMain.8", conv(64, 32, 3))
+        put(f"netRegularization.{idx}.netMain.10", conv(32, 32, 3))
+        if lvl >= 5:
+            put(f"netRegularization.{idx}.netDist.0",
+                conv(32, dist_ch[lvl], k))
+        else:
+            state[f"netRegularization.{idx}.netDist.0.weight"] = \
+                np.zeros((dist_ch[lvl], 32, k, 1), np.float32)
+            state[f"netRegularization.{idx}.netDist.0.bias"] = \
+                np.zeros(dist_ch[lvl], np.float32)
+            state[f"netRegularization.{idx}.netDist.1.weight"] = \
+                np.zeros((dist_ch[lvl], dist_ch[lvl], 1, k), np.float32)
+            state[f"netRegularization.{idx}.netDist.1.bias"] = \
+                np.zeros(dist_ch[lvl], np.float32)
+        put(f"netRegularization.{idx}.netScaleX", conv(dist_ch[lvl], 1, 1))
+        put(f"netRegularization.{idx}.netScaleY", conv(dist_ch[lvl], 1, 1))
+    return state
+
+
 class TestCorrelation:
 
     def oracle(self, f1, f2, stride):
@@ -70,82 +146,11 @@ class TestNetwork:
 
     def test_weight_conversion_mapping(self):
         """A synthetic torch-layout state dict must map onto the module tree
-        exactly (all leaves consumed and shapes matching flax init)."""
-        torch = pytest.importorskip("torch")
+        exactly (all leaves consumed and shapes matching flax init).
+        Torch-free: the synthetic dict is plain numpy in torch's layout."""
         from transflow_tpu.flow.estimators.liteflownet import (
             LiteFlowNet, convert_torch_state)
-
-        # build a synthetic state dict with the sniklaus layout
-        def conv(i, o, k):
-            if isinstance(k, int):
-                k = (k, k)
-            return {"weight": torch.zeros(o, i, *k),
-                    "bias": torch.zeros(o)}
-
-        state = {}
-        def put(prefix, d):
-            for key, value in d.items():
-                state[f"{prefix}.{key}"] = value
-        put("netFeatures.netOne.0", conv(3, 32, 7))
-        put("netFeatures.netTwo.0", conv(32, 32, 3))
-        put("netFeatures.netTwo.2", conv(32, 32, 3))
-        put("netFeatures.netTwo.4", conv(32, 32, 3))
-        put("netFeatures.netThr.0", conv(32, 64, 3))
-        put("netFeatures.netThr.2", conv(64, 64, 3))
-        put("netFeatures.netFou.0", conv(64, 96, 3))
-        put("netFeatures.netFou.2", conv(96, 96, 3))
-        put("netFeatures.netFiv.0", conv(96, 128, 3))
-        put("netFeatures.netSix.0", conv(128, 192, 3))
-        kernels = {2: 7, 3: 5, 4: 5, 5: 3, 6: 3}
-        dist_ch = {2: 49, 3: 25, 4: 25, 5: 9, 6: 9}
-        feat_ch = {2: 32, 3: 64, 4: 96, 5: 128, 6: 192}
-        sub_in = {2: 130, 3: 130, 4: 194, 5: 258, 6: 386}
-        reg_in = {2: 131, 3: 131, 4: 131, 5: 131, 6: 195}
-        for idx, lvl in enumerate((2, 3, 4, 5, 6)):
-            k = kernels[lvl]
-            if lvl == 2:
-                put(f"netMatching.{idx}.netFeat.0", conv(32, 64, 1))
-                put(f"netSubpixel.{idx}.netFeat.0", conv(32, 64, 1))
-            if lvl != 6:
-                state[f"netMatching.{idx}.netUpflow.weight"] = \
-                    torch.zeros(2, 1, 4, 4)
-            if lvl < 4:
-                state[f"netMatching.{idx}.netUpcorr.weight"] = \
-                    torch.zeros(49, 1, 4, 4)
-            put(f"netMatching.{idx}.netMain.0", conv(49, 128, 3))
-            put(f"netMatching.{idx}.netMain.2", conv(128, 64, 3))
-            put(f"netMatching.{idx}.netMain.4", conv(64, 32, 3))
-            put(f"netMatching.{idx}.netMain.6", conv(32, 2, k))
-            put(f"netSubpixel.{idx}.netMain.0", conv(sub_in[lvl], 128, 3))
-            put(f"netSubpixel.{idx}.netMain.2", conv(128, 64, 3))
-            put(f"netSubpixel.{idx}.netMain.4", conv(64, 32, 3))
-            put(f"netSubpixel.{idx}.netMain.6", conv(32, 2, k))
-            if lvl < 5:
-                put(f"netRegularization.{idx}.netFeat.0",
-                    conv(feat_ch[lvl], 128, 1))
-            put(f"netRegularization.{idx}.netMain.0", conv(reg_in[lvl], 128, 3))
-            put(f"netRegularization.{idx}.netMain.2", conv(128, 128, 3))
-            put(f"netRegularization.{idx}.netMain.4", conv(128, 64, 3))
-            put(f"netRegularization.{idx}.netMain.6", conv(64, 64, 3))
-            put(f"netRegularization.{idx}.netMain.8", conv(64, 32, 3))
-            put(f"netRegularization.{idx}.netMain.10", conv(32, 32, 3))
-            if lvl >= 5:
-                put(f"netRegularization.{idx}.netDist.0",
-                    conv(32, dist_ch[lvl], k))
-            else:
-                state[f"netRegularization.{idx}.netDist.0.weight"] = \
-                    torch.zeros(dist_ch[lvl], 32, k, 1)
-                state[f"netRegularization.{idx}.netDist.0.bias"] = \
-                    torch.zeros(dist_ch[lvl])
-                state[f"netRegularization.{idx}.netDist.1.weight"] = \
-                    torch.zeros(dist_ch[lvl], dist_ch[lvl], 1, k)
-                state[f"netRegularization.{idx}.netDist.1.bias"] = \
-                    torch.zeros(dist_ch[lvl])
-            put(f"netRegularization.{idx}.netScaleX", conv(dist_ch[lvl], 1, 1))
-            put(f"netRegularization.{idx}.netScaleY", conv(dist_ch[lvl], 1, 1))
-
-        state = {k: v.numpy() for k, v in state.items()}
-        converted = convert_torch_state(state)
+        converted = convert_torch_state(build_synthetic_state())
 
         # reference structure from a random init
         model = LiteFlowNet()

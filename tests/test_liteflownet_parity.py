@@ -1,0 +1,127 @@
+"""LiteFlowNet conversion parity against committed torch-computed goldens.
+
+These tests run WITHOUT torch: the fixtures under tests/fixtures/ were
+generated once with torch (generate_liteflownet_golden.py) and committed, so
+the numeric parity of the weight-conversion semantics — OIHW->HWIO conv
+transpose, grouped-deconv kernel flip, grid_sample backwarp — is asserted in
+any environment. When torch IS importable, an extra round-trip test saves a
+fresh checkpoint and cross-checks the pure-numpy zip reader against it.
+"""
+import os
+import pickle
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from transflow_tpu.flow.estimators.liteflownet import (
+    _upsample2x_groupdeconv, backwarp)
+from transflow_tpu.flow.estimators.torch_zip import load_torch_zip
+
+FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(os.path.join(FIXTURES, "liteflownet_golden.npz"))
+
+
+class TestTorchZipReader:
+
+    def test_committed_checkpoint_exact(self):
+        """The numpy reader must reproduce every tensor of the committed
+        torch-saved checkpoint bit-exactly (bf16 widened to f32)."""
+        loaded = load_torch_zip(os.path.join(FIXTURES, "mini_torch_ckpt.pt"))
+        expected = np.load(
+            os.path.join(FIXTURES, "mini_torch_ckpt_expected.npz"))
+        assert set(loaded) == set(expected.files)
+        for key in expected.files:
+            got = np.asarray(loaded[key])
+            want = expected[key]
+            assert got.shape == want.shape, key
+            np.testing.assert_array_equal(got, want, err_msg=key)
+
+    def test_hostile_pickle_rejected(self, tmp_path):
+        import zipfile
+        path = str(tmp_path / "evil.pt")
+        with zipfile.ZipFile(path, "w") as archive:
+            archive.writestr("x/data.pkl", pickle.dumps({"f": os.system}))
+        with pytest.raises(pickle.UnpicklingError, match="not allowed"):
+            load_torch_zip(path)
+
+    def test_round_trip_against_live_torch(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        g = torch.Generator().manual_seed(42)
+        state = {"w": torch.randn(5, 4, 3, 3, generator=g),
+                 "t": torch.randn(8, 2, generator=g).t()}
+        path = str(tmp_path / "ck.pt")
+        torch.save(state, path)
+        loaded = load_torch_zip(path)
+        for key, value in state.items():
+            np.testing.assert_array_equal(loaded[key], value.numpy())
+
+
+class TestConversionSemantics:
+    """Converted weights fed to our ops must reproduce torch outputs."""
+
+    def test_conv_oihw_to_hwio(self, golden):
+        """_torch_conv's transpose: lax conv on NHWC/HWIO must equal torch
+        Conv2d on the committed input/weights (reference nets are stacks of
+        exactly this, liteflownet.py:417-611)."""
+        import jax
+        x = jnp.asarray(golden["conv_x"])              # HWC
+        kernel = jnp.asarray(golden["conv_w"].transpose(2, 3, 1, 0))  # HWIO
+        bias = jnp.asarray(golden["conv_b"])
+        y = jax.lax.conv_general_dilated(
+            x[None], kernel, window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0] + bias
+        np.testing.assert_allclose(np.asarray(y), golden["conv_y"],
+                                   atol=1e-4, rtol=1e-4)
+
+    @pytest.mark.parametrize("name", ["upflow", "upcorr"])
+    def test_grouped_deconv_upsample(self, golden, name):
+        """_deconv_kernel + _upsample2x_groupdeconv must equal torch's
+        grouped ConvTranspose2d(k=4, s=2, p=1) — the netUpflow/netUpcorr
+        bilinear upsamplers (liteflownet.py:469-474)."""
+        x = jnp.asarray(golden[f"{name}_x"])
+        torch_w = golden[f"{name}_w"]                  # (C, 1, 4, 4)
+        kernel = jnp.asarray(torch_w[:, 0].transpose(1, 2, 0))  # (4, 4, C)
+        y = _upsample2x_groupdeconv(x, kernel)
+        np.testing.assert_allclose(np.asarray(y), golden[f"{name}_y"],
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_backwarp_matches_grid_sample(self, golden):
+        """backwarp must equal grid_sample(bilinear, zeros,
+        align_corners=True) with the reference's pixel->normalized flow
+        scaling (liteflownet.py:398-412), including out-of-bounds zeros."""
+        image = jnp.asarray(golden["warp_image"])
+        flow = jnp.asarray(golden["warp_flow"])
+        y = backwarp(image, flow)
+        np.testing.assert_allclose(np.asarray(y), golden["warp_y"],
+                                   atol=1e-5, rtol=1e-5)
+
+
+class TestFullCheckpointPath:
+
+    def test_load_torch_weights_via_numpy_reader(self, tmp_path):
+        """End-to-end: a torch-format checkpoint with the sniklaus naming
+        (module* prefixes) loads through load_torch_weights into a pytree
+        the Flax net accepts."""
+        torch = pytest.importorskip("torch")
+        # reuse the synthetic full state dict from the mapping test
+        from test_liteflownet import TestNetwork  # noqa: F401
+        import test_liteflownet as tl
+        state = tl.build_synthetic_state()
+        tensors = {k.replace("net", "module", 1): torch.from_numpy(
+            np.ascontiguousarray(v)) for k, v in state.items()}
+        path = str(tmp_path / "network-default.pytorch")
+        torch.save(tensors, path)
+
+        from transflow_tpu.flow.estimators.liteflownet import (
+            LiteFlowNet, load_torch_weights)
+        variables = load_torch_weights(path)
+        flow = LiteFlowNet().apply(
+            variables, jnp.zeros((64, 64, 3)), jnp.zeros((64, 64, 3)))
+        assert flow.shape == (32, 32, 2)

@@ -437,3 +437,23 @@ class TestBatchedRepeat:
         for a, b in zip(*outs):
             fa, fb = cv2.imread(str(a)), cv2.imread(str(b))
             assert np.array_equal(fa, fb), a.name
+
+
+class TestProfileDump:
+    """Both the per-frame and the batched (--batch-frames) path must write a
+    .profile.json next to the output (observability parity)."""
+
+    @pytest.mark.parametrize("batch", [1, 4])
+    def test_profile_json_written(self, assets, tmp_path, batch):
+        out = str(tmp_path / f"out_b{batch}.avi")
+        cfg = Config(assets["video"], output_path=out, vcodec="mjpeg",
+                     pixmap_sources=[PixmapSourceConfig(assets["image"])],
+                     seed=3, batch_frames=batch)
+        run_pipeline(cfg, replace=True, profile=True)
+        profile_path = cfg.get_secondary_output_path(".profile.json")
+        assert os.path.isfile(profile_path), profile_path
+        with open(profile_path, encoding="utf8") as file:
+            report = json.load(file)
+        assert "device_step" in report["stages"]
+        assert report["stages"]["device_step"]["count"] > 0
+        assert report["frames"] > 0

@@ -329,9 +329,13 @@ def convert_torch_state(state: dict) -> dict:
 
 
 def load_torch_weights(path: str) -> dict:
-    import torch
-    state = torch.load(path, map_location="cpu", weights_only=True)
-    state = {k.replace("module", "net"): v.numpy() for k, v in state.items()}
+    """Load the published torch checkpoint WITHOUT torch: the zip container
+    is parsed by a restricted pure-numpy unpickler (torch_zip.py), so the
+    flagship CNN works in torch-free deployments."""
+    from .torch_zip import load_torch_zip
+    state = load_torch_zip(path)
+    state = {key.replace("module", "net"): np.asarray(value)
+             for key, value in state.items()}
     return convert_torch_state(state)
 
 

@@ -1,13 +1,20 @@
 /* transflow-tpu web client.
  * Mirrors the websocket protocol of the server (gui/server.py):
- *   -> GENERATE {config} | INTERRUPT | RELOAD
- *   <- STATUS {json} | DONE | PREVIEW url | ERROR msg
- * Config edits persist in localStorage.
+ *   -> GENERATE {config} | INTERRUPT | RELOAD | FILE_OPEN key | FILE_SAVE key
+ *   <- STATUS {json} | DONE | PREVIEW url | ERROR msg | FILE key path
+ * Config edits persist in localStorage. Media files preview (and scrub, via
+ * the server's /media HTTP-range handler) in the media panel.
+ * Grid limits match the reference client (master.js:80-88): 5 layers x 5
+ * pixmap sources.
  */
 "use strict";
 
 const $ = (id) => document.getElementById(id);
 const MAX_LAYERS = 5;
+const MAX_PIXMAPS = 5;
+
+const VIDEO_EXT = /\.(mp4|avi|mkv|webm|mov|m4v|mpg|mpeg)$/i;
+const IMAGE_EXT = /\.(png|jpe?g|gif|bmp|webp)$/i;
 
 let ws = null;
 let pixmaps = [];
@@ -67,6 +74,8 @@ function renderPixmaps() {
     div.innerHTML = `
       <div class="row">
         <label>Source <input data-k="path" placeholder="image/video path, color:red, noise…"></label>
+        <button class="mini" data-browse title="browse">&#128193;</button>
+        <button class="mini" data-preview title="preview">&#128065;</button>
         <label>Layers <input data-k="layers" size="4" placeholder="0,1"></label>
         <button class="mini danger" data-del>&times;</button>
       </div>
@@ -82,6 +91,10 @@ function renderPixmaps() {
         saveState();
       });
     }
+    div.querySelector("[data-browse]").addEventListener("click", () =>
+      requestFile("OPEN", `pixmap_${i}`));
+    div.querySelector("[data-preview]").addEventListener("click", () =>
+      showMedia(p.path));
     div.querySelector("[data-del]").addEventListener("click", () => {
       pixmaps.splice(i, 1);
       renderPixmaps();
@@ -89,6 +102,7 @@ function renderPixmaps() {
     });
     host.appendChild(div);
   });
+  $("add_pixmap").disabled = pixmaps.length >= MAX_PIXMAPS;
 }
 
 function renderLayers() {
@@ -201,8 +215,67 @@ async function connect() {
   }
 }
 
+/* ------------------------------------------------------------------ */
+/* server file dialogs + media preview (scrubbing via /media ranges)    */
+/* ------------------------------------------------------------------ */
+
+function requestFile(kind, key) {
+  if (!ws || ws.readyState !== WebSocket.OPEN) {
+    $("status").textContent = "not connected";
+    return;
+  }
+  ws.send(`FILE_${kind} ${key}`);
+}
+
+function applyFile(key, path) {
+  if (key.startsWith("pixmap_")) {
+    const i = parseInt(key.slice(7), 10);
+    if (pixmaps[i]) {
+      pixmaps[i].path = path;
+      renderPixmaps();
+      saveState();
+    }
+  } else {
+    const el = $(key);
+    if (el) {
+      el.value = path;
+      el.dispatchEvent(new Event("input"));
+    }
+  }
+  if (VIDEO_EXT.test(path) || IMAGE_EXT.test(path)) showMedia(path);
+}
+
+function showMedia(path) {
+  path = (path || "").trim();
+  const video = $("media_video");
+  const image = $("media_image");
+  const note = $("media_note");
+  video.style.display = "none";
+  image.style.display = "none";
+  if (VIDEO_EXT.test(path)) {
+    // the /media endpoint answers HTTP range requests, so the browser's
+    // native controls can scrub the file
+    video.src = "/media?path=" + encodeURIComponent(path);
+    video.style.display = "block";
+    note.textContent = path;
+  } else if (IMAGE_EXT.test(path)) {
+    image.src = "/media?path=" + encodeURIComponent(path);
+    image.style.display = "block";
+    note.textContent = path;
+  } else {
+    note.textContent = path
+      ? `no preview for "${path}" (generated source?)` : "";
+  }
+}
+
 function onMessage(message) {
   const status = $("status");
+  if (message.startsWith("FILE ")) {
+    const rest = message.slice(5);
+    const space = rest.indexOf(" ");
+    if (space > 0) applyFile(rest.slice(0, space), rest.slice(space + 1));
+    return;
+  }
   if (message.startsWith("STATUS ")) {
     const s = JSON.parse(message.slice(7));
     if (s.error) { status.textContent = `error: ${s.error}`; return; }
@@ -342,10 +415,19 @@ window.addEventListener("DOMContentLoaded", () => {
     el.addEventListener("input", saveState);
   }
   $("add_pixmap").addEventListener("click", () => {
+    if (pixmaps.length >= MAX_PIXMAPS) return;
     pixmaps.push(newPixmap());
     renderPixmaps();
     saveState();
   });
+  $("browse_flow").addEventListener("click", () =>
+    requestFile("OPEN", "flow_path"));
+  $("browse_output").addEventListener("click", () =>
+    requestFile("SAVE", "output_path"));
+  $("preview_flow").addEventListener("click", () =>
+    showMedia($("flow_path").value));
+  $("flow_path").addEventListener("change", () =>
+    showMedia($("flow_path").value));
   $("add_layer").addEventListener("click", () => {
     if (layers.length >= MAX_LAYERS) return;
     layers.push(newLayer(layers.length));

@@ -29,6 +29,18 @@ FIELDS = [
     ("lk_step", "LK step", "int", (1, 32)),
 ]
 
+FIELD_KINDS = {attr: kind for attr, _, kind, _ in FIELDS}
+FIELD_SPECS = {attr: spec for attr, _, _, spec in FIELDS}
+
+
+def coerce_value(kind: str, raw):
+    """Parse a widget string into the field's type; raises ValueError."""
+    if kind == "int":
+        return int(raw)
+    if kind == "float":
+        return float(raw)
+    return raw
+
 
 class CvFlowConfigWindow:
     """tkinter panel editing a CvFlowConfig live."""
@@ -43,8 +55,17 @@ class CvFlowConfigWindow:
                                        name="cv-config-window")
         self.thread.start()
 
-    def _bump(self):
-        self.config.version = getattr(self.config, "version", 0) + 1
+    def apply_value(self, attr: str, raw) -> bool:
+        """Coerce a raw widget value and push it into the config (bumping
+        ``config.version`` so the engine re-jits). Returns False on a
+        half-typed/unparseable value instead of raising — widget handlers
+        fire on every keystroke."""
+        try:
+            value = coerce_value(FIELD_KINDS[attr], raw)
+        except ValueError:
+            return False
+        self.config.update(attr, value)
+        return True
 
     def _run(self):
         import tkinter
@@ -56,17 +77,11 @@ class CvFlowConfigWindow:
         frame = ttk.Frame(root, padding=8)
         frame.grid(sticky="nsew")
 
-        def on_change(attr, var, kind):
+        def on_change(attr, var):
             def handler(*_):
                 try:
-                    value = var.get()
-                    if kind == "int":
-                        value = int(value)
-                    elif kind == "float":
-                        value = float(value)
-                    self.config.update(attr, value)
-                    self._bump()
-                except (ValueError, tkinter.TclError):
+                    self.apply_value(attr, var.get())
+                except tkinter.TclError:
                     pass
             return handler
 
@@ -82,7 +97,7 @@ class CvFlowConfigWindow:
                 widget = ttk.Spinbox(
                     frame, textvariable=var, from_=spec[0], to=spec[1],
                     increment=1 if kind == "int" else 0.1, width=8)
-            var.trace_add("write", on_change(attr, var, kind))
+            var.trace_add("write", on_change(attr, var))
             widget.grid(row=row, column=1, sticky="ew", pady=1)
             self._vars[attr] = var
 

@@ -30,19 +30,38 @@ def initialize(coordinator_address: str | None = None,
         pass  # already initialized
 
 
-def make_global_mesh(space_axis: int | None = None) -> Mesh:
-    """('stream', 'space') mesh over every device of every host.
-
-    ``space_axis`` devices shard H (must divide the per-host device count so
-    halo collectives stay on ICI); the remaining factor — including the
-    host dimension — is stream parallelism."""
-    devices = np.asarray(jax.devices())
-    per_host = jax.local_device_count()
+def global_mesh_grid(n_devices: int, per_host: int,
+                     space_axis: int | None = None) -> tuple[int, int]:
+    """(stream, space) grid shape for ``n_devices`` across hosts of
+    ``per_host`` devices each. Pure arithmetic, unit-testable without
+    hardware: ``space`` must divide the per-host device count so halo
+    collectives ride ICI; everything else — including the host dimension,
+    which is the leading factor of a host-major device list — multiplies
+    into ``stream``."""
     if space_axis is None:
         space_axis = per_host
     if per_host % space_axis:
         raise ValueError(
             f"space axis {space_axis} must divide the per-host device "
             f"count {per_host} (halo exchange must ride ICI, not DCN)")
-    grid = devices.reshape(len(devices) // space_axis, space_axis)
+    if n_devices % space_axis:
+        raise ValueError(
+            f"space axis {space_axis} must divide the global device "
+            f"count {n_devices}")
+    return n_devices // space_axis, space_axis
+
+
+def make_global_mesh(space_axis: int | None = None,
+                     devices=None, per_host: int | None = None) -> Mesh:
+    """('stream', 'space') mesh over every device of every host.
+
+    ``space_axis`` devices shard H (must divide the per-host device count so
+    halo collectives stay on ICI); the remaining factor — including the
+    host dimension — is stream parallelism. ``devices``/``per_host``
+    default to the live topology (overridable for tests)."""
+    devices = np.asarray(jax.devices() if devices is None else devices)
+    if per_host is None:
+        per_host = jax.local_device_count()
+    n_streams, n_space = global_mesh_grid(len(devices), per_host, space_axis)
+    grid = devices.reshape(n_streams, n_space)
     return Mesh(grid, axis_names=("stream", "space"))

@@ -626,7 +626,15 @@ class Pipeline:
                 if bar is not None:
                     bar.close()
                 if self.profile:
-                    print(self.timers.format_table())
+                    report = self.timers.format_table()
+                    logger.info("profile:\n%s", report)
+                    print(report)
+                    try:
+                        self.timers.dump(
+                            self.config.get_secondary_output_path(
+                                ".profile.json"))
+                    except OSError:
+                        logger.exception("profile dump failed")
             return
         pending = None  # (device frame, device flow) — one-deep pipeline
         timers = self.timers
