@@ -15,6 +15,25 @@ The TPU-native scale-out axes are:
 
 Temporal recurrence stays sequential (lax.scan); parallelism is within-frame
 and across streams, exactly as SURVEY §2.3 prescribes.
+
+MEASURED (8-device CPU mesh, stream=2 x space=4, H=256 W=512 chunk=4,
+horn-schunck moveref, compiled-HLO audit): per scan step XLA emits
+* 1-row halo ``collective-permute``s (f32[1,1,W]) for the estimator and
+  reset stencils — the cheap, intended pattern;
+* ``all-to-all``s for pyramid resizes (small);
+* **full-H ``all-gather``s for the movement gather**: pos_i/pos_j/alpha/
+  source as s32[1,H,W] (plus one pred[1,H,W] mask and the u8[H,W,3]
+  pixmap) are gathered to every device each frame, because
+  ``data[target] = data[source + flow]`` has unbounded cross-shard reach.
+  Traffic ~ 17*H*W bytes/frame/stream (~35 MB at 1080p) over ICI, versus a
+  halo-window ideal of K*W bytes (K = max |flow_y|).
+
+Scaling consequence: the ``space`` axis is profitable for the estimator
+(pure stencils) but the compositor's permutation step is all-gather-bound;
+prefer widening ``stream`` over ``space`` until a displacement-bounded
+(halo-window) gather kernel lands — flows are almost always bounded by a
+few dozen pixels, so a K-row halo exchange + clamped shard-local gather
+would remove the all-gathers at the cost of clipping |flow_y| > K.
 """
 import numpy as np
 
