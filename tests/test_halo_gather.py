@@ -1,0 +1,132 @@
+"""Bounded-displacement gather: exactness vs plain gather, halo clamping,
+and end-to-end model parity (halo vs plain, sharded vs single-device)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from transflow_tpu.ops.halo_gather import bounded_row_gather
+
+
+def plain(v, src_i, src_j):
+    return np.asarray(v)[np.asarray(src_i), np.asarray(src_j)]
+
+
+class TestBoundedRowGather:
+
+    def test_exact_2d(self):
+        rng = np.random.default_rng(0)
+        h, w, halo = 24, 32, 5
+        v = rng.normal(size=(h, w)).astype(np.float32)
+        ii, jj = np.indices((h, w))
+        di = rng.integers(-halo, halo + 1, (h, w))
+        dj = rng.integers(-9, 10, (h, w))
+        src_i = np.clip(ii + di, 0, h - 1).astype(np.int32)
+        src_j = np.clip(jj + dj, 0, w - 1).astype(np.int32)
+        got = np.asarray(bounded_row_gather(
+            jnp.asarray(v), jnp.asarray(src_i), jnp.asarray(src_j), halo))
+        np.testing.assert_array_equal(got, plain(v, src_i, src_j))
+
+    def test_exact_3d_channels(self):
+        rng = np.random.default_rng(1)
+        h, w, c, halo = 16, 20, 3, 4
+        v = rng.integers(0, 255, (h, w, c)).astype(np.uint8)
+        ii, jj = np.indices((h, w))
+        src_i = np.clip(ii + rng.integers(-halo, halo + 1, (h, w)),
+                        0, h - 1).astype(np.int32)
+        src_j = np.clip(jj + rng.integers(-6, 7, (h, w)),
+                        0, w - 1).astype(np.int32)
+        got = np.asarray(bounded_row_gather(
+            jnp.asarray(v), jnp.asarray(src_i), jnp.asarray(src_j), halo))
+        np.testing.assert_array_equal(got, plain(v, src_i, src_j))
+
+    def test_bool_mask(self):
+        rng = np.random.default_rng(2)
+        h, w, halo = 12, 10, 3
+        v = rng.random((h, w)) > 0.5
+        ii, jj = np.indices((h, w))
+        src_i = np.clip(ii + rng.integers(-halo, halo + 1, (h, w)),
+                        0, h - 1).astype(np.int32)
+        src_j = jj.astype(np.int32)
+        got = np.asarray(bounded_row_gather(
+            jnp.asarray(v), jnp.asarray(src_i), jnp.asarray(src_j), halo))
+        np.testing.assert_array_equal(got, plain(v, src_i, src_j))
+
+    def test_beyond_halo_clamps(self):
+        h, w, halo = 16, 8, 2
+        v = jnp.arange(h * w, dtype=jnp.float32).reshape(h, w)
+        ii, jj = np.indices((h, w))
+        src_i = np.clip(ii + 5, 0, h - 1).astype(np.int32)  # beyond halo
+        got = np.asarray(bounded_row_gather(
+            v, jnp.asarray(src_i), jnp.asarray(jj.astype(np.int32)), halo))
+        clamped_i = np.clip(ii + halo, 0, h - 1)
+        np.testing.assert_array_equal(got, plain(np.asarray(v), clamped_i, jj))
+
+
+class TestModelHaloParity:
+
+    def _model(self, halo):
+        """Halo paired with a clip filter (the intended deployment pattern:
+        the filter bounds |flow| on-device, making the halo window exact)."""
+        from transflow_tpu.config import LayerConfig
+        from transflow_tpu.flow import Direction
+        from transflow_tpu.model import FlowTransferModel
+        return FlowTransferModel(
+            32, 64, [LayerConfig(0, reset_mode="random",
+                                 reset_random_factor=0.05)],
+            {0: [(3, np.ones((32, 64), bool))]},
+            method="horn-schunck",
+            estimator_kwargs=dict(max_iters=2, delta=None),
+            direction=Direction.BACKWARD, flow_filters="clip=6",
+            halo=halo)
+
+    def test_halo_matches_plain_gather(self):
+        """With halo >= the actual displacement bound the fused step is
+        bit-exact vs the plain-gather model."""
+        rng = np.random.default_rng(3)
+        frames = rng.integers(0, 256, (5, 32, 64), dtype=np.uint8)
+        key = jax.random.key(11)
+        outs = []
+        for halo in (None, 8):
+            model = self._model(halo)
+            state = model.init_state(frames[0])
+            state, rgbs = model.jit_scan(
+                state, jnp.asarray(frames[1:]), pixmaps := model.
+                default_pixmaps(), jnp.float32(0.0), key)
+            outs.append(np.asarray(rgbs))
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+    def test_sharded_halo_matches_single_device(self):
+        """The halo model under the ('stream','space') mesh reproduces the
+        single-device plain-gather result exactly."""
+        from transflow_tpu.parallel import (make_mesh, shard_model_inputs,
+                                            sharded_scan)
+        assert len(jax.devices()) >= 8
+        rng = np.random.default_rng(4)
+        n_streams, chunk, h, w = 2, 3, 32, 64
+        grays = rng.integers(0, 256, (n_streams, chunk, h, w), dtype=np.uint8)
+        first = rng.integers(0, 256, (n_streams, h, w), dtype=np.uint8)
+        keys = jax.random.split(jax.random.key(5), n_streams)
+
+        plain_model = self._model(None)
+        expected = []
+        for s in range(n_streams):
+            state = plain_model.init_state(first[s])
+            _, rgbs = plain_model.jit_scan(
+                state, jnp.asarray(grays[s]), plain_model.default_pixmaps(),
+                jnp.float32(0.0), keys[s])
+            expected.append(np.asarray(rgbs))
+        expected = np.stack(expected)
+
+        halo_model = self._model(8)
+        mesh = make_mesh(8)
+        state = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[halo_model.init_state(first[s]) for s in range(n_streams)])
+        st, gr, pixmaps, ks = shard_model_inputs(
+            mesh, state, jnp.asarray(grays), halo_model.default_pixmaps(),
+            keys)
+        run = sharded_scan(halo_model, mesh)
+        with mesh:
+            _, rgbs = run(st, gr, pixmaps, jnp.float32(0.0), ks)
+        np.testing.assert_array_equal(np.asarray(rgbs), expected)

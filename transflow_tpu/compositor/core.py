@@ -31,6 +31,7 @@ import numpy as np
 
 from ..config import LayerConfig
 from ..utils import load_bool_mask, load_float_mask, parse_color
+from ..ops.halo_gather import bounded_row_gather
 from ..ops.scatter import scatter_any
 
 
@@ -132,12 +133,19 @@ def init_layer_state(params: LayerParams) -> dict:
 # Movement (shared by moveref and introduction layers)
 # --------------------------------------------------------------------------
 
-def _movement(params: LayerParams, channels: dict, alpha, flow):
+def _movement(params: LayerParams, channels: dict, alpha, flow,
+              halo: int | None = None):
     """Apply the flow permutation to ``channels`` + ``alpha``.
 
     Parity: transflow/compositor/layers/movement.py:20-64, re-expressed as a
     masked gather (see module docstring). Returns (channels, alpha, move_info)
     where move_info = (moving, src_i, src_j) is reused by introduction.
+
+    ``halo``: when set, source reads go through the bounded-displacement
+    gather (ops/halo_gather.py) so an H-sharded multi-chip run exchanges
+    only neighbor rows instead of all-gathering the full state every frame
+    (measured in parallel/mesh.py). Bit-exact for |flow_y| <= halo; rows
+    further than the halo clamp to it.
     """
     cfg = params.cfg
     h, w = params.height, params.width
@@ -147,12 +155,18 @@ def _movement(params: LayerParams, channels: dict, alpha, flow):
     ii, jj = _base_coords(h, w)
     src_i = jnp.clip(ii + di, 0, h - 1)
     src_j = jnp.clip(jj + dj, 0, w - 1)
+    if halo is not None:
+        def src_read(v):
+            return bounded_row_gather(v, src_i, src_j, halo)
+    else:
+        def src_read(v):
+            return v[src_i, src_j]
     filled = alpha != 0
     if cfg.transparent_pixels_can_move:
-        src_ok = params.mask_src[src_i, src_j]
-        src_filled = filled[src_i, src_j]
+        src_ok = src_read(params.mask_src)
+        src_filled = src_read(filled)
     else:
-        src_ok = (params.mask_src & filled)[src_i, src_j]
+        src_ok = src_read(params.mask_src & filled)
         src_filled = None
     dst_ok = params.mask_dst
     if not cfg.pixels_can_move_to_empty_spot:
@@ -166,8 +180,8 @@ def _movement(params: LayerParams, channels: dict, alpha, flow):
             mask = mask[..., None]
         return jnp.where(mask, a, b)
 
-    out = {k: sel(is_target, v[src_i, src_j], v) for k, v in channels.items()}
-    new_alpha = jnp.where(is_target, alpha[src_i, src_j], alpha)
+    out = {k: sel(is_target, src_read(v), v) for k, v in channels.items()}
+    new_alpha = jnp.where(is_target, src_read(alpha), alpha)
     if cfg.moving_pixels_leave_empty_spot:
         flat_src = (src_i * w + src_j).ravel()
         is_source = scatter_any((h, w), flat_src, is_target.ravel())
@@ -264,17 +278,19 @@ def _reference_rgba(params: LayerParams, state: dict, pixmaps) -> dict:
 # --------------------------------------------------------------------------
 
 def update_moveref(params: LayerParams, state: dict, flow, pixmaps,
-                   key) -> dict:
+                   key, halo: int | None = None) -> dict:
     """MoveReferenceLayer.update (move_reference.py:12-14)."""
     channels = {"pos_i": state["pos_i"], "pos_j": state["pos_j"],
                 "source": state["source"]}
-    channels, alpha, _ = _movement(params, channels, state["alpha"], flow)
+    channels, alpha, _ = _movement(params, channels, state["alpha"], flow,
+                                   halo)
     state = dict(state, **channels, alpha=alpha)
     state = _reset(params, state, key)
     return _reference_rgba(params, state, pixmaps)
 
 
-def update_sum(params: LayerParams, state: dict, flow, pixmaps, key) -> dict:
+def update_sum(params: LayerParams, state: dict, flow, pixmaps, key,
+               halo: int | None = None) -> dict:
     """SumLayer.update: additive displacement, then reset + regather.
 
     Parity: sum.py:9-14 with the component transposition fixed (dy -> i)."""
@@ -286,7 +302,7 @@ def update_sum(params: LayerParams, state: dict, flow, pixmaps, key) -> dict:
 
 
 def update_static(params: LayerParams, state: dict, flow, pixmaps,
-                  key) -> dict:
+                  key, halo: int | None = None) -> dict:
     """StaticLayer.update (static.py:14-17): masked blit, flow ignored."""
     rgba = state["rgba"]
     rgb = rgba[..., :3]
@@ -301,7 +317,7 @@ def update_static(params: LayerParams, state: dict, flow, pixmaps,
 
 
 def update_introduction(params: LayerParams, state: dict, flow, pixmaps,
-                        key, frame_numbers) -> dict:
+                        key, frame_numbers, halo: int | None = None) -> dict:
     """IntroductionLayer.update (introduction.py:16-67): move pixels carrying
     their RGB, then introduce new pixels from each source."""
     cfg = params.cfg
@@ -309,7 +325,7 @@ def update_introduction(params: LayerParams, state: dict, flow, pixmaps,
                 "pos_i": state["pos_i"], "pos_j": state["pos_j"],
                 "frame": state["frame"]}
     channels, alpha, (moving, src_i, src_j) = _movement(
-        params, channels, state["alpha"], flow)
+        params, channels, state["alpha"], flow, halo)
     state = dict(state, **channels, alpha=alpha)
 
     # Introduction eligibility (intended semantics; see module docstring).
@@ -393,7 +409,8 @@ _UPDATE_FNS = {
 # --------------------------------------------------------------------------
 
 def build_compositor(layer_params: Sequence[LayerParams], height: int,
-                     width: int, background_color: str = "#ffffff"):
+                     width: int, background_color: str = "#ffffff",
+                     halo: int | None = None):
     """Build the pure compositor functions.
 
     Returns (init_fn, step_fn) where
@@ -403,6 +420,9 @@ def build_compositor(layer_params: Sequence[LayerParams], height: int,
     ``pixmaps`` is a tuple (one per layer) of tuples (one per source) of
     (H, W, C) uint8 arrays; ``frame_numbers`` mirrors that structure with
     int32 scalars. step_fn is pure and jit/scan-compatible.
+
+    ``halo``: bounded-displacement movement gather for H-sharded multi-chip
+    runs (see _movement); None = plain gather (single-chip default).
 
     Parity: transflow/compositor/compositor.py:17-53.
     """
@@ -425,10 +445,11 @@ def build_compositor(layer_params: Sequence[LayerParams], height: int,
             if classname == "introduction":
                 st = update_introduction(
                     params, state[idx], flow, pixmaps[idx], keys[idx],
-                    frame_numbers[idx])
+                    frame_numbers[idx], halo)
             else:
                 st = _UPDATE_FNS[classname](
-                    params, state[idx], flow, pixmaps[idx], keys[idx])
+                    params, state[idx], flow, pixmaps[idx], keys[idx],
+                    halo)
             new_state.append(st)
         return new_state
 

@@ -39,7 +39,8 @@ class FlowTransferModel:
                  background_color: str = "#ffffff",
                  width_factor: int = 1,
                  height_factor: int = 1,
-                 framerate: float = 30.0):
+                 framerate: float = 30.0,
+                 halo: int | None = None):
         self.height = height
         self.width = width
         self.out_height = height * height_factor
@@ -52,9 +53,13 @@ class FlowTransferModel:
                 0: [(3, np.ones((self.out_height, self.out_width), bool))]}
         self.layer_params = make_layer_params(
             layer_cfgs, self.out_height, self.out_width, sources_by_layer)
+        # halo: bounded-displacement movement gather for H-sharded meshes —
+        # neighbor-row exchanges instead of per-frame full-state all-gathers
+        # (parallel/mesh.py has the measurements); None = plain gather
+        self.halo = halo
         init_fn, comp_step = build_compositor(
             self.layer_params, self.out_height, self.out_width,
-            background_color)
+            background_color, halo=halo)
         self._comp_init = init_fn
         self._comp_step = comp_step
         estimator = get_estimator(method)
