@@ -2,12 +2,16 @@
 
 Parity reference: extra/viewflow.py + extra/viewflow/ (the reference's
 standalone flow visualizer). This wraps the framework's --view-flow /
---view-flow-magnitude pipeline and adds a per-frame statistics mode.
+--view-flow-magnitude pipeline, adds a per-frame statistics mode, and an
+interactive frame-by-frame player (--play, see viewflow_player.py: views
+source/destination/reconstructed, arrow + magnitude overlays, zoom, mouse
+flow probe).
 
 Usage:
   python extra/viewflow.py video.flow.zip -o flow.avi
   python extra/viewflow.py video.mp4 --magnitude -o mag.avi
   python extra/viewflow.py video.flow.zip --stats
+  python extra/viewflow.py video.mp4 --play
 """
 import argparse
 import os
@@ -28,7 +32,16 @@ def main():
     parser.add_argument("--stats", action="store_true",
                         help="print per-frame flow statistics instead of "
                         "rendering")
+    parser.add_argument("--play", action="store_true",
+                        help="interactive frame-by-frame inspector")
+    parser.add_argument("--arrow-step", type=int, default=24,
+                        help="arrow overlay grid pitch (--play)")
     args = parser.parse_args()
+
+    if args.play:
+        from viewflow_player import run_player
+        run_player(args.source, arrow_step=args.arrow_step)
+        return
 
     if args.stats:
         import numpy as np
