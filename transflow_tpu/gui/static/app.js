@@ -215,6 +215,53 @@ async function connect() {
   }
 }
 
+function applyConfig(config) {
+  /* inverse of buildConfig: populate the editor from a Config JSON
+     (the same files the CLI writes as <output>.config.json) */
+  const set = (id, value) => {
+    const el = $(id);
+    if (!el || value === null || value === undefined) return;
+    if (el.type === "checkbox") el.checked = !!value;
+    else el.value = value;
+  };
+  set("flow_path", config.flow_path);
+  set("direction", config.direction === 0 || config.direction === "forward"
+      ? "forward" : "backward");
+  set("seek_time", config.seek_time);
+  set("duration_time", config.duration_time);
+  set("repeat", config.repeat);
+  set("flow_filters", config.flow_filters);
+  set("mask_path", config.mask_path);
+  set("background", config.compositor_background);
+  set("output_path", Array.isArray(config.output_path)
+      ? config.output_path[0] : config.output_path);
+  set("view_flow", config.view_flow);
+  set("view_flow_magnitude", config.view_flow_magnitude);
+  set("seed", config.seed);
+  pixmaps = (config.pixmap_sources || []).slice(0, MAX_PIXMAPS).map(p => ({
+    path: p.path ?? "noise",
+    layers: (p.layers || [0]).join(","),
+    introduction_path: p.introduction_path || "",
+    seek_time: p.seek_time || "",
+    repeat: p.repeat ?? 1,
+  }));
+  if (!pixmaps.length) pixmaps = [newPixmap()];
+  layers = (config.layers || []).slice(0, MAX_LAYERS).map(l => ({
+    index: l.index ?? 0,
+    classname: l.classname || "moveref",
+    reset_mode: l.reset_mode || "off",
+    reset_factor: l.reset_random_factor ?? l.reset_linear_factor
+        ?? l.reset_constant_step ?? 0.1,
+    mask_alpha: l.mask_alpha || "",
+    moving_pixels_leave_empty_spot: !!l.moving_pixels_leave_empty_spot,
+    introduce_once: !!l.introduce_once,
+  }));
+  if (!layers.length) layers = [newLayer(0)];
+  renderPixmaps();
+  renderLayers();
+  saveState();
+}
+
 /* ------------------------------------------------------------------ */
 /* server file dialogs + media preview (scrubbing via /media ranges)    */
 /* ------------------------------------------------------------------ */
@@ -446,6 +493,31 @@ window.addEventListener("DOMContentLoaded", () => {
   });
   $("interrupt").addEventListener("click", () => {
     if (ws && ws.readyState === WebSocket.OPEN) ws.send("INTERRUPT");
+  });
+  $("reload").addEventListener("click", () => {
+    if (ws && ws.readyState === WebSocket.OPEN) ws.send("RELOAD");
+    setTimeout(() => location.reload(), 200);
+  });
+  $("export_json").addEventListener("click", () => {
+    const blob = new Blob([JSON.stringify(buildConfig(), null, 2)],
+                          { type: "application/json" });
+    const a = document.createElement("a");
+    a.href = URL.createObjectURL(blob);
+    a.download = "transflow-config.json";
+    a.click();
+    URL.revokeObjectURL(a.href);
+  });
+  // make the import label clickable
+  document.querySelector("label.mini").addEventListener("click", () =>
+    $("import_json").click());
+  $("import_json").addEventListener("change", async (event) => {
+    const file = event.target.files[0];
+    if (!file) return;
+    try {
+      applyConfig(JSON.parse(await file.text()));
+    } catch (e) {
+      $("status").textContent = "bad config file: " + e.message;
+    }
   });
   connect();
 });
