@@ -67,7 +67,18 @@ def _conv(features, kernel, stride=1, pad=None, name=None):
 def backwarp(image, flow):
     """Bilinear warp with zero padding, align_corners semantics.
 
-    Parity: liteflownet.py:398-412 (grid_sample). ``flow`` is in pixels."""
+    Parity: liteflownet.py:398-412 (grid_sample). ``flow`` is in pixels.
+
+    PERFORMANCE (measured on v5e, 544x960x64): ~30 ms per call — the
+    network's dominant cost (~90 of 186 ms/frame at 1088p comes from the
+    backwarps). The 4-tap gather runs ~45x below HBM bandwidth because XLA
+    lowers arbitrary 2-D gathers to a serial slice loop on TPU; measured
+    alternatives (flattened single-index take: ~same; 2x2-patch lax.gather:
+    36x WORSE; bf16 operand: worse) don't help, and Mosaic/Pallas exposes
+    only dynamic slices, not per-element gathers, so a custom kernel can't
+    express it either. A displacement-bounded decomposition (like
+    ops/halo_gather.py) would need a (2K+1)^2 select loop for the 2-D case
+    — worse than the gather for realistic K. Known-open optimization."""
     h, w = image.shape[-3], image.shape[-2]
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
@@ -411,10 +422,12 @@ def liteflownet(prev_gray_or_rgb, next_gray_or_rgb, *,
 
     ``params``: pass the weights pytree explicitly when calling from inside
     an outer jit (engine step / chunk scan) so they stay program ARGUMENTS.
-    Measured at 1088p: weights as args 31 ms/frame; the same network with
-    weights baked as program literals 203 ms — XLA handles large constants
-    badly. Without ``params``, a traced call falls back to baking the
-    (numpy) weights as literals: correct, but slow."""
+    Measured at 1088p (async-dispatch comparison): weights as args ~6x
+    faster than the same network with weights baked as program literals —
+    XLA handles large constants badly. True wall-clock with a hard data
+    dependency + value readback: 186 ms/frame (see backwarp's docstring for
+    the profile). Without ``params``, a traced call falls back to baking
+    the (numpy) weights as literals: correct, but slow."""
     img1 = _to_rgb01(prev_gray_or_rgb)
     img2 = _to_rgb01(next_gray_or_rgb)
     h, w = img1.shape[:2]
