@@ -6,12 +6,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 BASELINE.md target: >= 500 fps at 1080p, >= 50x the CPU reference.
 
 Methodology: one timed sample = CHUNKS_PER_SAMPLE chained 16-frame lax.scan
-dispatches with DISTINCT gray chunks and split RNG keys (no dispatch can be
-memoized), fully synchronized once at the end — the state chain serializes
-every dispatch on-device and TPUs run programs in order, so syncing the
-final state covers all the work, while the single host<->device round trip
-(hundreds of us through this environment's tunnel, the dominant noise
-source) amortizes over ~5 ms of device work. Early samples after compile
+dispatches with DISTINCT gray chunks, timestamps and RNG keys (no dispatch
+can be memoized), completed by a VALUE READBACK of the final output — the
+state chain serializes every dispatch on-device, and a host-visible value
+cannot exist before the device finished computing it (block_until_ready
+alone has been observed returning at enqueue time in tunneled
+environments). The single host<->device round trip (hundreds of us through
+this environment's tunnel, the dominant noise source) amortizes over ~5 ms
+of device work per sample. Early samples after compile
 run below steady state (cold caches, allocator, tunnel), so we WARM UP
 until two consecutive samples agree within 10% (capped), then take the
 median of REPEATS samples. The figure is physically auditable: the 60 MB
@@ -115,16 +117,26 @@ def bench_tpu() -> dict:
     jax.block_until_ready(rgbs)
     holder = {"state": state2}
 
+    sample_no = [0]
+
     def sample():
         """CHUNKS_PER_SAMPLE chained dispatches, distinct inputs + keys,
-        one full sync at the end (the state chain serializes them all)."""
+        one VALUE READBACK of the final output at the end. The readback —
+        not block_until_ready — is the completion barrier: the state chain
+        serializes every dispatch, and a host-visible value cannot exist
+        before the device finished computing it (in tunneled environments
+        block_until_ready has been observed returning at enqueue time).
+        ``t0`` varies per sample so no dispatch ever repeats (some runtimes
+        memoize identical executions)."""
+        base = sample_no[0] * CHUNKS_PER_SAMPLE
+        sample_no[0] += 1
         start = time.perf_counter()
         current = holder["state"]
         for i in range(CHUNKS_PER_SAMPLE):
             current, rgbs = model.jit_scan(
                 current, gray_sets[i % GRAY_SETS], pixmaps,
-                jnp.float32(i), keys[i])
-        jax.block_until_ready((current, rgbs))
+                jnp.float32(base + i), keys[i])
+        int(np.asarray(rgbs[-1, 0, 0, 0]))
         holder["state"] = current
         return time.perf_counter() - start
 
@@ -145,10 +157,10 @@ def bench_tpu() -> dict:
 
     def est_region():
         start = time.perf_counter()
-        out = None
+        pf = prev_flow
         for _ in range(CHUNKS_PER_SAMPLE):
-            out = est(gray1, gray0, prev_flow)
-        jax.block_until_ready(out)
+            pf = est(gray1, gray0, pf)   # fed back: distinct + dependent
+        float(np.asarray(pf[0, 0, 0]))
         return time.perf_counter() - start
 
     est_ms = 1000.0 * _steady_state(est_region, repeats=3) / CHUNKS_PER_SAMPLE
@@ -178,7 +190,7 @@ def bench_tpu() -> dict:
         comp, rgb = comp0, None
         for _ in range(CHUNKS_PER_SAMPLE):
             comp, rgb = comp_call(comp, keys[0])
-        jax.block_until_ready(rgb)
+        int(np.asarray(rgb[0, 0, 0]))
         return time.perf_counter() - start
 
     comp_ms = 1000.0 * _steady_state(comp_region, repeats=3) / CHUNKS_PER_SAMPLE
