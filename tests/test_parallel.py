@@ -63,3 +63,51 @@ def test_sharded_matches_single_device(model):
         _, rgbs = run(state, grays, pixmaps_sharded, jnp.float32(0.0),
                       keys_sharded)
     np.testing.assert_array_equal(np.asarray(rgbs), expected)
+
+
+def test_sharded_multi_layer_all_classes():
+    """Sharded parity for the full layer-class matrix: a static background,
+    a sum layer, and an introduction layer (8 state channels, per-source
+    masks) composited together — bit-exact vs single-device."""
+    from transflow_tpu.config import LayerConfig
+    h, w = 32, 128
+    top = np.zeros((h, w), bool); top[:h // 2] = True
+    model = FlowTransferModel(
+        h, w,
+        [LayerConfig(0, classname="static"),
+         LayerConfig(1, classname="sum", reset_mode="linear",
+                     reset_linear_factor=0.2, mask_alpha="circle:40%"),
+         LayerConfig(2, classname="introduction",
+                     moving_pixels_leave_empty_spot=True)],
+        {0: [(3, np.ones((h, w), bool))],
+         1: [(3, top)],
+         2: [(4, ~top)]},
+        method="horn-schunck",
+        estimator_kwargs=dict(max_iters=2, delta=None),
+        direction=Direction.BACKWARD)
+    rng = np.random.default_rng(9)
+    n_streams, chunk = 2, 3
+    grays_np = rng.integers(0, 256, (n_streams, chunk, h, w), dtype=np.uint8)
+    first = rng.integers(0, 256, (n_streams, h, w), dtype=np.uint8)
+    pixmaps = model.default_pixmaps(seed=3)
+    keys = jax.random.split(jax.random.key(11), n_streams)
+
+    expected = []
+    for s in range(n_streams):
+        state = model.init_state(first[s])
+        _, rgbs = model.jit_scan(state, jnp.asarray(grays_np[s]), pixmaps,
+                                 jnp.float32(0.0), keys[s])
+        expected.append(np.asarray(rgbs))
+    expected = np.stack(expected)
+
+    mesh = make_mesh(8)
+    state = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[model.init_state(first[s]) for s in range(n_streams)])
+    state, grays, pixmaps_sharded, keys_sharded = shard_model_inputs(
+        mesh, state, jnp.asarray(grays_np), pixmaps, keys)
+    run = sharded_scan(model, mesh)
+    with mesh:
+        _, rgbs = run(state, grays, pixmaps_sharded, jnp.float32(0.0),
+                      keys_sharded)
+    np.testing.assert_array_equal(np.asarray(rgbs), expected)
