@@ -64,19 +64,31 @@ def make_frames(n, seed=0):
     return np.stack(frames)
 
 
-def _steady_state(region, repeats=REPEATS, stats=False):
+def _steady_state(region, repeats=REPEATS, stats=False, budget_s=150.0):
     """Warm up `region` (a 0-arg callable returning elapsed seconds) until
     two consecutive timings agree within WARMUP_TOL, then sample `repeats`
     times. Returns the median; with stats=True returns (median, best,
     iqr_pct) so the output self-describes its measurement noise — the
-    host<->device tunnel in this environment wanders by design."""
+    host<->device tunnel in this environment wanders by design.
+
+    ``budget_s`` soft-caps the wall time: in degraded tunnel regimes a
+    single sample can take seconds; the driver still gets a (noisier)
+    number instead of a hang."""
+    deadline = time.monotonic() + budget_s
     prev = region()
     for _ in range(WARMUP_MAX):
+        if time.monotonic() > deadline:
+            break
         cur = region()
         if abs(cur - prev) / min(cur, prev) <= WARMUP_TOL:
             break
         prev = cur
-    samples = np.sort([region() for _ in range(repeats)])
+    collected = []
+    while len(collected) < repeats:
+        if len(collected) >= 3 and time.monotonic() > deadline:
+            break
+        collected.append(region())
+    samples = np.sort(collected)
     median = float(np.median(samples))
     if not stats:
         return median
