@@ -130,3 +130,72 @@ class TestModelHaloParity:
         with mesh:
             _, rgbs = run(st, gr, pixmaps, jnp.float32(0.0), ks)
         np.testing.assert_array_equal(np.asarray(rgbs), expected)
+
+
+class TestHaloFlagMatrix:
+    """halo vs plain gather across the movement/introduction flag matrix —
+    every src_read call site must agree when |flow| <= halo."""
+
+    @pytest.mark.parametrize("flags", [
+        dict(transparent_pixels_can_move=True),
+        dict(pixels_can_move_to_empty_spot=False),
+        dict(pixels_can_move_to_filled_spot=False),
+        dict(moving_pixels_leave_empty_spot=True),
+        dict(mask_src="border-left:50%", mask_dst="circle:40%"),
+    ])
+    def test_moveref_flags(self, flags):
+        from transflow_tpu.compositor.core import (build_compositor,
+                                                   make_layer_params)
+        from transflow_tpu.config import LayerConfig
+        h, w = 24, 48
+        rng = np.random.default_rng(17)
+        flow = np.zeros((h, w, 2), np.float32)
+        flow[4:20, 8:40] = rng.integers(-3, 4, (16, 32, 2))
+        pixmap = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        outs = []
+        for halo in (None, 4):
+            cfg = LayerConfig(0, reset_mode="random",
+                              reset_random_factor=0.1, **flags)
+            params = make_layer_params([cfg], h, w,
+                                       {0: [(3, np.ones((h, w), bool))]})
+            init_fn, step = build_compositor(params, h, w, halo=halo)
+            state = init_fn()
+            key = jax.random.key(3)
+            pixmaps = ((jnp.asarray(pixmap),),)
+            frames = ((jnp.int32(0),),)
+            for t in range(3):
+                key, sub = jax.random.split(key)
+                state = step.update(state, jnp.asarray(flow), pixmaps, sub,
+                                    frames, params)
+            state, rgb = step.render(state, params)
+            outs.append(np.asarray(rgb))
+        np.testing.assert_array_equal(outs[0], outs[1], err_msg=str(flags))
+
+    def test_introduction_flags(self):
+        from transflow_tpu.compositor.core import (build_compositor,
+                                                   make_layer_params)
+        from transflow_tpu.config import LayerConfig
+        h, w = 24, 48
+        rng = np.random.default_rng(23)
+        flow = np.zeros((h, w, 2), np.float32)
+        flow[4:20, 8:40] = rng.integers(-3, 4, (16, 32, 2))
+        pixmap = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        outs = []
+        for halo in (None, 4):
+            cfg = LayerConfig(0, classname="introduction",
+                              moving_pixels_leave_empty_spot=True,
+                              introduce_unmoving_pixels=False)
+            params = make_layer_params([cfg], h, w,
+                                       {0: [(4, np.ones((h, w), bool))]})
+            init_fn, step = build_compositor(params, h, w, halo=halo)
+            state = init_fn()
+            key = jax.random.key(5)
+            pixmaps = ((jnp.asarray(pixmap),),)
+            frames = ((jnp.int32(0),),)
+            for t in range(3):
+                key, sub = jax.random.split(key)
+                state = step.update(state, jnp.asarray(flow), pixmaps, sub,
+                                    frames, params)
+            state, rgb = step.render(state, params)
+            outs.append(np.asarray(rgb))
+        np.testing.assert_array_equal(outs[0], outs[1])
