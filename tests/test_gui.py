@@ -167,3 +167,8 @@ def test_client_grid_limits_declared():
     for element in ["browse_flow", "browse_output", "media_video",
                     "media_image"]:
         assert element in index, element
+
+    for element in ["reload", "export_json", "import_json"]:
+        assert f'id="{element}"' in index, element
+    for feature in ["applyConfig", "Export JSON"]:
+        assert feature in app or feature in index, feature
