@@ -7,8 +7,11 @@ mesh is built host-major — hosts multiply the ``stream`` axis (independent
 video streams, zero cross-stream communication, so DCN only carries input
 frames and results).
 
-This module cannot be exercised in the single-host CI environment; it is
-the documented, tested-shape code path for deployments.
+Exercised end-to-end in CI by tests/test_multihost_e2e.py: two coordinated
+jax.distributed CPU processes build this global mesh (space rows pinned per
+host) and run the full sharded pipeline step bit-exact vs single-device.
+The mesh arithmetic is additionally unit-tested with fake device lists
+(tests/test_multihost.py).
 """
 import jax
 import numpy as np
