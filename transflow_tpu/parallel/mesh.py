@@ -107,13 +107,17 @@ def shard_model_inputs(mesh: Mesh, state, grays, pixmaps, keys):
     return state, grays, pixmaps, keys
 
 
-def sharded_scan(model, mesh: Mesh):
+def sharded_scan(model, mesh: Mesh, per_stream_pixmaps: bool = False):
     """Jit the model's chunk scan with stream + spatial sharding.
 
     Returns fn(state, grays, pixmaps, t0, keys) -> (state, rgbs) where
     state/grays carry a leading stream-batch dim; the body is
     vmap(model.scan) over streams with sharding constraints pinning the
-    layout (stream over 'stream', H over 'space')."""
+    layout (stream over 'stream', H over 'space').
+
+    ``per_stream_pixmaps``: pixmap leaves carry a leading stream dim and
+    each stream advects its OWN pixmap (extra/batch_render.py); default is
+    one pixmap set replicated to every stream."""
 
     def constrained(tree, spec_fn):
         return jax.tree.map(
@@ -125,19 +129,31 @@ def sharded_scan(model, mesh: Mesh):
             return P()
         return pixmap_spec(leaf_ndim)
 
+    def stream_pixmap_spec(leaf_ndim: int) -> P:
+        return P("stream", *([None] * (leaf_ndim - 1)))
+
     @jax.jit
     def run(state, grays, pixmaps, t0, keys, params_list, pp_mask,
             est_params):
         state = constrained(state, state_spec)
         grays = constrained(grays, frames_spec)
-        pixmaps = constrained(pixmaps, pixmap_spec)
+        pixmaps = constrained(
+            pixmaps,
+            stream_pixmap_spec if per_stream_pixmaps else pixmap_spec)
         params_list = constrained(params_list, params_spec)
         # estimator weights: replicated across the mesh (small per-leaf)
         est_params = constrained(est_params, lambda nd: P())
-        new_state, rgbs = jax.vmap(
-            lambda s, g, k: model.scan(s, g, pixmaps, t0, k, params_list,
-                                       pp_mask, est_params=est_params)
-        )(state, grays, keys)
+        if per_stream_pixmaps:
+            new_state, rgbs = jax.vmap(
+                lambda s, g, k, pm: model.scan(
+                    s, g, pm, t0, k, params_list, pp_mask,
+                    est_params=est_params)
+            )(state, grays, keys, pixmaps)
+        else:
+            new_state, rgbs = jax.vmap(
+                lambda s, g, k: model.scan(s, g, pixmaps, t0, k, params_list,
+                                           pp_mask, est_params=est_params)
+            )(state, grays, keys)
         new_state = constrained(new_state, state_spec)
         rgbs = constrained(rgbs, frames_spec)
         return new_state, rgbs
