@@ -254,7 +254,32 @@ def bench_cpu_reference() -> float:
     return CPU_FRAMES / (time.perf_counter() - start)
 
 
+def _start_watchdog():
+    """The device tunnel can become unresponsive for long stretches (a hung
+    upload/readback is uninterruptible from this thread). Emit a parseable
+    error line and exit instead of hanging the driver forever."""
+    import threading
+    deadline = float(os.environ.get("TRANSFLOW_BENCH_DEADLINE", "1500"))
+
+    def fire():
+        print(json.dumps({
+            "metric": "1080p_e2e_fps_flow_warp_composite",
+            "value": 0,
+            "unit": "frames/sec",
+            "vs_baseline": 0,
+            "error": f"device unresponsive for {deadline:.0f}s "
+                     "(tunnel down?); no measurement possible",
+        }), flush=True)
+        os._exit(0)
+
+    timer = threading.Timer(deadline, fire)
+    timer.daemon = True
+    timer.start()
+    return timer
+
+
 def main():
+    watchdog = _start_watchdog()
     record_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".bench_cpu_baseline.json")
     cpu_fps = None
@@ -273,6 +298,7 @@ def main():
         except OSError:
             pass
     tpu = bench_tpu()
+    watchdog.cancel()
     print(json.dumps({
         "metric": "1080p_e2e_fps_flow_warp_composite",
         "value": round(tpu["fps"], 2),
