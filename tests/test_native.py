@@ -65,3 +65,42 @@ def test_missing_file_raises(lib_available):
     with pytest.raises(Exception):
         with native.NativeReader("/nope/missing.avi") as reader:
             next(iter(reader))
+
+
+@pytest.fixture(scope="module")
+def standalone_bin():
+    import subprocess
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native")
+    binary = os.path.join(root, "transflow_standalone")
+    if not os.path.isfile(binary):
+        build = subprocess.run(["make", "transflow_standalone"], cwd=root,
+                               capture_output=True, text=True)
+        if build.returncode != 0:
+            pytest.skip(f"standalone build failed: {build.stderr[-400:]}")
+    return binary
+
+
+def test_standalone_headless_render(standalone_bin, test_video, tmp_path):
+    """The no-Python native demo: file in, advected file out."""
+    import subprocess
+    out = str(tmp_path / "native_out.avi")
+    result = subprocess.run(
+        [standalone_bin, test_video, "--output", out, "--frames", "6",
+         "--block", "2", "--decay", "0.05"],
+        capture_output=True, text=True, timeout=120)
+    assert result.returncode == 0, result.stderr
+    assert "6 frames" in result.stdout
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 6
+    ok, frame = cap.read()
+    cap.release()
+    assert ok and frame.shape == (48, 64, 3)
+
+
+def test_standalone_bad_input(standalone_bin):
+    import subprocess
+    result = subprocess.run([standalone_bin, "/nope/missing.avi",
+                             "--headless"], capture_output=True, text=True,
+                            timeout=30)
+    assert result.returncode != 0
