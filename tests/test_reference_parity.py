@@ -160,3 +160,79 @@ class TestHornSchunckPSNR:
         values = [psnr(cv2.imread(str(a)), cv2.imread(str(b)))
                   for a, b in zip(ref_frames, own_frames)]
         assert float(np.mean(values)) >= 40.0, values
+
+
+class TestTransformedArchiveExact:
+    """Multi-flow merge through both full pipelines — exact; plus evidence
+    for a latent reference bug found while building this test:
+    ArchiveFlowSource.Builder never calls super().build()
+    (/root/reference/transflow/flow/sources/archive.py:23-31), so the
+    reference silently IGNORES --filters/--mask (and seek/duration/repeat)
+    on .flow.zip inputs. Exact filtered-archive parity is therefore
+    impossible by definition; the filter/mask functions themselves are
+    proven exact in test_reference_parity_units.py."""
+
+    def _second_archive(self, assets):
+        import io
+        import json as _json
+        path = str(assets["root"] / "flow2.flow.zip")
+        if os.path.exists(path):
+            return path
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr("meta.json", _json.dumps(
+                {"direction": 1, "width": 96, "height": 64,
+                 "framerate": 10.0}))
+            jj = np.arange(96)[None, :] * np.ones((64, 1))
+            ii = np.arange(64)[:, None] * np.ones((1, 96))
+            for index in range(6):
+                # interior-only +-1 displacements: the SUM of both archives
+                # must stay in frame bounds — the reference's movement step
+                # indexes mask.flat[shift] unclipped (movement.py:39) and
+                # CRASHES on out-of-bounds merged flows (ours clips; another
+                # latent reference bug found while building this test)
+                interior = ((ii >= 16) & (ii < 48)
+                            & (jj >= 16) & (jj < 80))
+                fx = np.where(interior, np.round(np.cos(ii / 5 - index)),
+                              0.0)
+                fy = np.where(interior, np.round(np.sin(jj / 8 + index)),
+                              0.0)
+                flow = np.stack([fx, fy], -1).astype(np.float32)
+                buffer = io.BytesIO()
+                np.save(buffer, flow)
+                z.writestr(f"{index:09d}.npy", buffer.getvalue())
+        return path
+
+    def test_merge_exact(self, reference, assets, tmp_path):
+        """Two archive flows, sum-merged: bit-exact through both pipelines."""
+        second = self._second_archive(assets)
+        kwargs = dict(extra_flow_paths=[second],
+                      flows_merging_function="sum")
+        ref_frames = run_reference(assets, assets["archive"], tmp_path,
+                                   **kwargs)
+        own_frames = run_ours(assets, assets["archive"], tmp_path, **kwargs)
+        assert len(ref_frames) == len(own_frames) > 0
+        for ref_path, own_path in zip(ref_frames, own_frames):
+            diff = np.abs(cv2.imread(str(ref_path)).astype(int)
+                          - cv2.imread(str(own_path)).astype(int))
+            assert diff.max() == 0, ref_path.name
+
+    def test_reference_ignores_archive_filters_we_apply_them(
+            self, reference, assets, tmp_path):
+        """Bug evidence: the reference's filtered archive render equals its
+        unfiltered one; ours actually applies the filter."""
+        plain_dir = tmp_path / "plain"; plain_dir.mkdir()
+        filt_dir = tmp_path / "filt"; filt_dir.mkdir()
+        ref_plain = run_reference(assets, assets["archive"], plain_dir)
+        ref_filt = run_reference(assets, assets["archive"], filt_dir,
+                                 flow_filters="threshold=1.5")
+        for a, b in zip(ref_plain, ref_filt):
+            assert np.array_equal(cv2.imread(str(a)), cv2.imread(str(b))), \
+                "reference started honoring archive filters — revisit!"
+        own_plain_dir = tmp_path / "oplain"; own_plain_dir.mkdir()
+        own_filt_dir = tmp_path / "ofilt"; own_filt_dir.mkdir()
+        own_plain = run_ours(assets, assets["archive"], own_plain_dir)
+        own_filt = run_ours(assets, assets["archive"], own_filt_dir,
+                            flow_filters="threshold=1.5")
+        assert any(not np.array_equal(cv2.imread(str(a)), cv2.imread(str(b)))
+                   for a, b in zip(own_plain, own_filt)), \
+            "our archive filter had no effect"

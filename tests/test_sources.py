@@ -201,3 +201,25 @@ class TestPixmapRouting:
             frame = next(src)
             assert tuple(frame[0, 0]) == (9, 9, 9)
             assert tuple(frame[1, 1]) == (0, 0, 0)
+
+
+def test_dsl_mask_through_source_postprocess(flow_archive):
+    """Regression: DSL mask rules must be sized from the opened source
+    (build_postprocess once loaded masks with shape (0, 0), crashing the
+    pipeline; the reference still has that bug — source.py:127-129)."""
+    import jax.numpy as jnp
+    with FlowSource.from_args(flow_archive,
+                              mask_path="border-left:50%") as source:
+        postprocess = source.build_postprocess()
+        assert postprocess.mask.shape == (48, 64)
+        item = next(source)
+        flow = jnp.asarray(item.array)
+        out = np.asarray(postprocess(flow, 0.0, jnp.asarray(postprocess.mask)))
+        # right half masked to zero; left half = the unmasked postprocess
+        # (which still clips flows to the frame bounds)
+        assert np.count_nonzero(out[:, 32:]) == 0
+        from transflow_tpu.flow.transforms import make_postprocess
+        plain = np.asarray(make_postprocess(None, None, None,
+                                            source.direction)(flow, 0.0))
+        np.testing.assert_array_equal(out[:, :32], plain[:, :32])
+        assert np.count_nonzero(out[:, :32]) > 0

@@ -254,7 +254,12 @@ class FlowSource:
     def build_postprocess(self):
         mask = None
         if self.mask_path is not None:
-            mask = load_float_mask(self.mask_path)
+            # DSL rules need the source size (known after open()); image
+            # masks carry their own. The reference loads with shape (0,0)
+            # (source.py:127-129), so its --mask only works with images —
+            # here every rule works.
+            mask = load_float_mask(self.mask_path,
+                                   (self.height, self.width))
         kernel = None
         if self.kernel_path is not None:
             kernel = np.load(self.kernel_path)
