@@ -167,12 +167,28 @@ def bench_tpu() -> dict:
     flow0 = est(gray1, gray0, prev_flow)
     jax.block_until_ready(flow0)
 
+    # the warm-start flow threads ACROSS samples (a holder, like the main
+    # sample's state) and the frame pair rotates per dispatch: no region is
+    # ever a byte-identical replay of the previous one, which the tunnel
+    # would memoize (the artifact the main sample() was redesigned around)
+    est_holder = {"pf": prev_flow}
+    est_grays = [(jnp.asarray(make_frames(2, seed=10 + s)[0]),
+                  jnp.asarray(make_frames(2, seed=10 + s)[1]))
+                 for s in range(GRAY_SETS)]
+
+    est_holder["n"] = 0
+
     def est_region():
+        # per-sample epsilon: even if the warm-start converges to a cycle,
+        # no two samples ever replay identical dispatches
+        est_holder["n"] += 1
         start = time.perf_counter()
-        pf = prev_flow
-        for _ in range(CHUNKS_PER_SAMPLE):
-            pf = est(gray1, gray0, pf)   # fed back: distinct + dependent
+        pf = est_holder["pf"] + jnp.float32(est_holder["n"] * 1e-6)
+        for i in range(CHUNKS_PER_SAMPLE):
+            a, b = est_grays[i % GRAY_SETS]
+            pf = est(a, b, pf)           # fed back: distinct + dependent
         float(np.asarray(pf[0, 0, 0]))
+        est_holder["pf"] = pf
         return time.perf_counter() - start
 
     est_ms = 1000.0 * _steady_state(est_region, repeats=3) / CHUNKS_PER_SAMPLE
@@ -197,12 +213,20 @@ def bench_tpu() -> dict:
     comp0, rgb0 = comp_call(comp_fresh, keys[0])
     jax.block_until_ready(rgb0)
 
+    comp_holder = {"comp": comp0, "n": 0}
+
     def comp_region():
+        # state threads across samples and the key varies per dispatch:
+        # no sample is a replayable copy of the previous (memoization)
+        base = comp_holder["n"] * CHUNKS_PER_SAMPLE
+        comp_holder["n"] += 1
         start = time.perf_counter()
-        comp, rgb = comp0, None
-        for _ in range(CHUNKS_PER_SAMPLE):
-            comp, rgb = comp_call(comp, keys[0])
+        comp, rgb = comp_holder["comp"], None
+        for i in range(CHUNKS_PER_SAMPLE):
+            comp, rgb = comp_call(comp, jax.random.fold_in(
+                keys[0], base + i))
         int(np.asarray(rgb[0, 0, 0]))
+        comp_holder["comp"] = comp
         return time.perf_counter() - start
 
     comp_ms = 1000.0 * _steady_state(comp_region, repeats=3) / CHUNKS_PER_SAMPLE

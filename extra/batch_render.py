@@ -120,6 +120,9 @@ def batch_render(pairs, out_dir, chunk=8, method="horn-schunck",
                 for _ in layer.channel_counts)
             for layer in model.layer_params)
         keys = jax.random.split(jax.random.key(seed + group0), n_streams)
+        # placeholder set placed once (shard_model_inputs needs a pixmap
+        # tree; the real per-stream pixmaps above are passed to run())
+        default_pixmaps = model.default_pixmaps()
         t0 = 0.0
         for start in range(1, n_frames, chunk):
             stop = min(start + chunk, n_frames)
@@ -127,7 +130,7 @@ def batch_render(pairs, out_dir, chunk=8, method="horn-schunck",
             chunk_keys = jax.vmap(
                 lambda k: jax.random.fold_in(k, start))(keys)
             st, gr, _, ks = shard_model_inputs(
-                mesh, state, jnp.asarray(grays), model.default_pixmaps(),
+                mesh, state, jnp.asarray(grays), default_pixmaps,
                 chunk_keys)
             with mesh:
                 state, rgbs = run(st, gr, pixmaps, jnp.float32(t0), ks)

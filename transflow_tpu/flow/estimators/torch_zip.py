@@ -96,9 +96,18 @@ def load_torch_zip(path: str) -> dict:
     Big-endian hosts/checkpoints are not supported (the ``byteorder`` entry,
     when present, must say "little" — true for every published checkpoint).
     """
+    if not zipfile.is_zipfile(path):
+        raise ValueError(
+            f"torch_zip: {path!r} is not a torch zip-format checkpoint "
+            "(legacy tar-format checkpoints from torch < 1.6 are not "
+            "supported — re-save with a modern torch.save)")
     with zipfile.ZipFile(path) as archive:
         names = archive.namelist()
-        pkl_name = next(n for n in names if n.endswith("/data.pkl"))
+        pkl_name = next((n for n in names if n.endswith("/data.pkl")), None)
+        if pkl_name is None:
+            raise ValueError(
+                f"torch_zip: {path!r} has no data.pkl entry — not a torch "
+                "checkpoint archive")
         prefix = pkl_name[: -len("data.pkl")]
         byteorder_name = prefix + "byteorder"
         if byteorder_name in names:

@@ -225,8 +225,13 @@ function applyConfig(config) {
     else el.value = value;
   };
   set("flow_path", config.flow_path);
-  set("direction", config.direction === 0 || config.direction === "forward"
-      ? "forward" : "backward");
+  // Config.fromdict defaults an absent direction to "forward"
+  if (config.direction !== undefined && config.direction !== null) {
+    set("direction", config.direction === 1
+        || config.direction === "backward" ? "backward" : "forward");
+  } else {
+    set("direction", "forward");
+  }
   set("seek_time", config.seek_time);
   set("duration_time", config.duration_time);
   set("repeat", config.repeat);
@@ -507,9 +512,7 @@ window.addEventListener("DOMContentLoaded", () => {
     a.click();
     URL.revokeObjectURL(a.href);
   });
-  // make the import label clickable
-  document.querySelector("label.mini").addEventListener("click", () =>
-    $("import_json").click());
+  // the label wraps the hidden input: native activation opens the picker
   $("import_json").addEventListener("change", async (event) => {
     const file = event.target.files[0];
     if (!file) return;

@@ -625,16 +625,7 @@ class Pipeline:
             finally:
                 if bar is not None:
                     bar.close()
-                if self.profile:
-                    report = self.timers.format_table()
-                    logger.info("profile:\n%s", report)
-                    print(report)
-                    try:
-                        self.timers.dump(
-                            self.config.get_secondary_output_path(
-                                ".profile.json"))
-                    except OSError:
-                        logger.exception("profile dump failed")
+                self._emit_profile()
             return
         pending = None  # (device frame, device flow) — one-deep pipeline
         timers = self.timers
@@ -681,15 +672,19 @@ class Pipeline:
         finally:
             if bar is not None:
                 bar.close()
-            if self.profile:
-                report = self.timers.format_table()
-                logger.info("profile:\n%s", report)
-                print(report)
-                try:
-                    self.timers.dump(self.config.get_secondary_output_path(
-                        ".profile.json"))
-                except OSError:
-                    logger.exception("profile dump failed")
+            self._emit_profile()
+
+    def _emit_profile(self):
+        """--profile output, identical for the per-frame and batched paths:
+        print the table and write <output>.profile.json."""
+        if not self.profile:
+            return
+        print(self.timers.format_table())
+        try:
+            self.timers.dump(self.config.get_secondary_output_path(
+                ".profile.json"))
+        except OSError:
+            logger.exception("profile dump failed")
 
     def _drain(self, frame, flow):
         if self.flow_output is not None:
