@@ -71,6 +71,17 @@ def gen_op_golden():
         out[f"{name}_w"] = w.numpy()                    # (C, 1, 4, 4)
         out[f"{name}_y"] = y[0].permute(1, 2, 0).numpy()
 
+    # bilinear resize, align_corners=False — BOTH directions (torch does
+    # not anti-alias downscales; the net's image pyramid depends on that,
+    # reference :592-611 / estimate :614-636)
+    for name, (h, w, th, tw) in (("resize_up", (23, 31, 64, 64)),
+                                 ("resize_down", (64, 64, 23, 31))):
+        x = torch.randn(1, 3, h, w, generator=g)
+        y = torch.nn.functional.interpolate(
+            x, size=(th, tw), mode="bilinear", align_corners=False)
+        out[f"{name}_x"] = x[0].permute(1, 2, 0).numpy()
+        out[f"{name}_y"] = y[0].permute(1, 2, 0).numpy()
+
     # grid_sample backwarp: bilinear, zeros padding, align_corners=True,
     # pixel-space flow normalized exactly like the reference (:403-406)
     image = torch.randn(1, 5, 11, 13, generator=g)      # NCHW

@@ -125,3 +125,27 @@ class TestFullCheckpointPath:
         flow = LiteFlowNet().apply(
             variables, jnp.zeros((64, 64, 3)), jnp.zeros((64, 64, 3)))
         assert flow.shape == (32, 32, 2)
+
+
+class TestResizeSemantics:
+
+    @pytest.mark.parametrize("name,target", [("resize_up", (64, 64)),
+                                             ("resize_down", (23, 31))])
+    def test_torch_bilinear_resize(self, golden, name, target):
+        """torch_bilinear_resize must match F.interpolate(bilinear,
+        align_corners=False) in BOTH directions — torch does not anti-alias
+        downscales, and the net's image pyramid (reference :592-611) was
+        trained with exactly that."""
+        from transflow_tpu.ops.image import torch_bilinear_resize
+        x = jnp.asarray(golden[f"{name}_x"])
+        got = np.asarray(torch_bilinear_resize(x, *target))
+        np.testing.assert_allclose(got, golden[f"{name}_y"],
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_antialiased_resize_differs_on_downscale(self, golden):
+        """Sanity: the anti-aliased jax resize does NOT match torch on
+        downscale — the reason liteflownet uses torch_bilinear_resize."""
+        from transflow_tpu.ops.image import bilinear_resize
+        x = jnp.asarray(golden["resize_down_x"])
+        got = np.asarray(bilinear_resize(x, 23, 31))
+        assert np.abs(got - golden["resize_down_y"]).max() > 1e-3

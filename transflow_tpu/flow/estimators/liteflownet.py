@@ -23,7 +23,10 @@ import numpy as np
 from flax import linen as nn
 
 from ...ops.correlation import correlation as correlation7x7
-from ...ops.image import bilinear_resize
+# torch-exact resize (no downscale anti-aliasing): the published
+# weights were trained with F.interpolate's pyramid (reference
+# :592-611); jax.image.resize anti-aliases downscales and diverges
+from ...ops.image import torch_bilinear_resize as bilinear_resize
 
 _LEVELS = (2, 3, 4, 5, 6)
 # per-level constants, indexed by the absolute level number

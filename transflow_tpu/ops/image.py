@@ -133,6 +133,43 @@ def bilinear_resize(image, new_h: int, new_w: int) -> jax.Array:
     return out[..., 0] if squeeze else out
 
 
+def torch_bilinear_resize(image, new_h: int, new_w: int) -> jax.Array:
+    """torch's ``F.interpolate(mode='bilinear', align_corners=False)``.
+
+    Unlike jax.image.resize (= bilinear_resize above), torch does NOT
+    anti-alias when downscaling: every output pixel samples exactly four
+    neighbors at half-pixel-center coordinates, edges clamped. LiteFlowNet
+    needs these exact semantics — the published weights were trained with
+    torch's pyramid downsampling (liteflownet.py:592-611), and the two
+    formulations agree only for upscales. Verified against torch to 1e-7
+    both directions (tests/test_liteflownet_parity.py)."""
+    squeeze = image.ndim == 2
+    if squeeze:
+        image = image[..., None]
+    h, w = image.shape[:2]
+    image = image.astype(jnp.float32)
+    if (new_h, new_w) == (h, w):
+        return image[..., 0] if squeeze else image
+    sy = (jnp.arange(new_h, dtype=jnp.float32) + 0.5) * (h / new_h) - 0.5
+    sx = (jnp.arange(new_w, dtype=jnp.float32) + 0.5) * (w / new_w) - 0.5
+    y0 = jnp.clip(jnp.floor(sy), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(sx), 0, w - 1)
+    wy = jnp.clip(sy - y0, 0.0, 1.0)
+    wx = jnp.clip(sx - x0, 0.0, 1.0)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    # separable: gather rows then columns (axis-aligned takes, no 2-D gather)
+    top = jnp.take(image, y0i, axis=0)
+    bottom = jnp.take(image, y1i, axis=0)
+    rows = top * (1.0 - wy)[:, None, None] + bottom * wy[:, None, None]
+    left = jnp.take(rows, x0i, axis=1)
+    right = jnp.take(rows, x1i, axis=1)
+    out = left * (1.0 - wx)[None, :, None] + right * wx[None, :, None]
+    return out[..., 0] if squeeze else out
+
+
 def downsample2x(image) -> jax.Array:
     """5-tap Gaussian blur then 2x decimation (classic pyramid reduce)."""
     k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], dtype=jnp.float32) / 16.0
