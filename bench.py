@@ -85,7 +85,9 @@ def _steady_state(region, repeats=REPEATS, stats=False, budget_s=150.0):
         prev = cur
     collected = []
     while len(collected) < repeats:
-        if len(collected) >= 3 and time.monotonic() > deadline:
+        # one sample is enough when the tunnel is so degraded that a single
+        # sample blows the budget — an honest slow number beats a hang
+        if collected and time.monotonic() > deadline:
             break
         collected.append(region())
     samples = np.sort(collected)
