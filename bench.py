@@ -98,12 +98,37 @@ def _steady_state(region, repeats=REPEATS, stats=False, budget_s=150.0):
     return median, float(samples[0]), 100.0 * iqr / median
 
 
+def _wait_for_healthy_tunnel(max_wait_s: float = 600.0) -> float:
+    """The device tunnel oscillates between ~0.2 ms and ~2 min per round
+    trip (observed). Pay the per-process handshake, then poll a tiny
+    readback until the RTT normalizes (or the grace period runs out), so a
+    one-shot driver run doesn't immortalize a sick-regime number. Returns
+    the last observed RTT in seconds."""
+    import jax.numpy as jnp
+    deadline = time.monotonic() + max_wait_s
+    # first RPC carries the connection-establishment penalty; not an RTT
+    float(jnp.sum(jnp.ones((8, 8))))
+    rtt = float("inf")
+    while True:
+        start = time.perf_counter()
+        # varying operand: some runtimes memoize identical dispatches
+        float(jnp.sum(jnp.ones((128, 128))
+                      * np.float32(time.perf_counter() % 997.0)))
+        rtt = time.perf_counter() - start
+        if rtt < 2.0 or time.monotonic() > deadline:
+            return rtt
+        time.sleep(min(30.0, max(5.0, rtt)))
+
+
 def bench_tpu() -> dict:
     import jax
     import jax.numpy as jnp
     from transflow_tpu.config import LayerConfig
     from transflow_tpu.flow import Direction
     from transflow_tpu.model import FlowTransferModel
+
+    tunnel_rtt = (_wait_for_healthy_tunnel()
+                  if jax.default_backend() != "cpu" else 0.0)
 
     model = FlowTransferModel(
         HEIGHT, WIDTH,
@@ -236,6 +261,7 @@ def bench_tpu() -> dict:
     return {
         "fps": fps,
         "best_fps": best_fps,
+        "tunnel_rtt_s": round(tunnel_rtt, 3),
         "noise_iqr_pct": round(iqr_pct, 1),
         "ms_per_frame": ms_per_frame,
         "stage_ms": {"estimator": round(est_ms, 4),
@@ -285,7 +311,7 @@ def _start_watchdog():
     upload/readback is uninterruptible from this thread). Emit a parseable
     error line and exit instead of hanging the driver forever."""
     import threading
-    deadline = float(os.environ.get("TRANSFLOW_BENCH_DEADLINE", "1500"))
+    deadline = float(os.environ.get("TRANSFLOW_BENCH_DEADLINE", "2400"))
 
     def fire():
         print(json.dumps({
@@ -333,6 +359,7 @@ def main():
         "ms_per_frame": round(tpu["ms_per_frame"], 4),
         "best_fps": round(tpu["best_fps"], 2),
         "noise_iqr_pct": tpu["noise_iqr_pct"],
+        "tunnel_rtt_s": tpu["tunnel_rtt_s"],
         "stage_ms": tpu["stage_ms"],
         "hbm_io_gbps": tpu["hbm_io_gbps"],
         "vmem_resident_state_mb": tpu["vmem_resident_state_mb"],
