@@ -156,6 +156,24 @@ def bench_tpu() -> dict:
     jax.block_until_ready(rgbs)
     holder = {"state": state2}
 
+    # realistic-workload gate: the small-probe RTT can look fine while a
+    # full chunk's completion still arrives on a ~5-minute poll cycle
+    # (observed failure mode). Retry single chunks until one completes
+    # quickly or the grace period ends; measurement proceeds either way.
+    gate_deadline = time.monotonic() + 600.0
+    chunk_no = [1000]
+    while True:
+        start = time.perf_counter()
+        st, rg = model.jit_scan(holder["state"], gray_sets[1], pixmaps,
+                                jnp.float32(chunk_no[0]), keys[1])
+        chunk_no[0] += 1
+        int(np.asarray(rg[-1, 0, 0, 0]))
+        holder["state"] = st
+        chunk_rtt = time.perf_counter() - start
+        if chunk_rtt < 10.0 or time.monotonic() > gate_deadline:
+            break
+        time.sleep(30.0)
+
     sample_no = [0]
 
     def sample():
