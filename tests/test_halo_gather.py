@@ -171,6 +171,27 @@ class TestHaloFlagMatrix:
             outs.append(np.asarray(rgb))
         np.testing.assert_array_equal(outs[0], outs[1], err_msg=str(flags))
 
+    def test_leave_empty_vacates_clamped_row_with_halo(self):
+        """With halo and |dy| > halo the value gather reads the clamped
+        row, so the leave-empty scatter must vacate that same clamped row —
+        not the true source (advisor round 2: the two were inconsistent)."""
+        from transflow_tpu.compositor.core import _movement, make_layer_params
+        from transflow_tpu.config import LayerConfig
+        h, w, halo = 16, 8, 2
+        cfg = LayerConfig(0, moving_pixels_leave_empty_spot=True)
+        params = make_layer_params(
+            [cfg], h, w, {0: [(3, np.ones((h, w), bool))]})[0]
+        flow = np.zeros((h, w, 2), np.float32)
+        flow[4, 3, 1] = 5.0  # dy=5 > halo=2: gather reads row 4+2=6
+        alpha = jnp.ones((h, w), jnp.int32)
+        channels = {"v": jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)}
+        out, new_alpha, _ = _movement(
+            params, channels, alpha, jnp.asarray(flow), halo=halo)
+        assert int(out["v"][4, 3]) == 6 * w + 3   # value from the clamped row
+        na = np.asarray(new_alpha)
+        assert na[6, 3] == 0                      # clamped source vacated
+        assert na[9, 3] == 1                      # true source untouched
+
     def test_introduction_flags(self):
         from transflow_tpu.compositor.core import (build_compositor,
                                                    make_layer_params)

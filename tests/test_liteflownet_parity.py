@@ -61,6 +61,90 @@ class TestTorchZipReader:
         for key, value in state.items():
             np.testing.assert_array_equal(loaded[key], value.numpy())
 
+    def test_legacy_format_round_trip(self, tmp_path):
+        """The published 2019 network-default.pytorch predates the zip
+        format; the legacy sequential format must load torch-free,
+        including non-contiguous tensors and shared/offset storages."""
+        torch = pytest.importorskip("torch")
+        g = torch.Generator().manual_seed(7)
+        base = torch.randn(24, generator=g)
+        state = {"w": torch.randn(5, 4, 3, 3, generator=g),
+                 "t": torch.randn(8, 2, generator=g).t(),
+                 "half": torch.randn(6, generator=g).half(),
+                 "ints": torch.arange(10, dtype=torch.int64),
+                 "base": base,
+                 "slice": base[4:12]}
+        path = str(tmp_path / "legacy.pytorch")
+        torch.save(state, path, _use_new_zipfile_serialization=False)
+        assert not __import__("zipfile").is_zipfile(path)
+        loaded = load_torch_zip(path)
+        assert set(loaded) == set(state)
+        for key, value in state.items():
+            np.testing.assert_array_equal(loaded[key], value.numpy(), err_msg=key)
+
+    def test_out_of_bounds_view_rejected(self, tmp_path):
+        """A crafted checkpoint declaring shape (1000,) over a 4-element
+        storage must raise, not leak adjacent process memory (advisor PoC
+        round 2)."""
+        torch = pytest.importorskip("torch")
+        import collections
+        import zipfile
+
+        class _Ref:
+            pass
+
+        class _Evil:
+            def __reduce__(self):
+                return (torch._utils._rebuild_tensor_v2,
+                        (_Ref(), 0, (1000,), (1,), False,
+                         collections.OrderedDict()))
+
+        class _EvilPickler(pickle.Pickler):
+            def persistent_id(self, obj):
+                if isinstance(obj, _Ref):
+                    return ("storage", torch.FloatStorage, "0", "cpu", 4)
+                return None
+
+        import io
+        buf = io.BytesIO()
+        _EvilPickler(buf, protocol=2).dump({"w": _Evil()})
+        path = str(tmp_path / "oob.pt")
+        with zipfile.ZipFile(path, "w") as archive:
+            archive.writestr("x/data.pkl", buf.getvalue())
+            archive.writestr("x/data/0", b"\x00" * 16)
+        with pytest.raises(pickle.UnpicklingError, match="addresses"):
+            load_torch_zip(path)
+
+    def test_negative_stride_rejected(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        import collections
+        import io
+        import zipfile
+
+        class _Ref:
+            pass
+
+        class _Evil:
+            def __reduce__(self):
+                return (torch._utils._rebuild_tensor_v2,
+                        (_Ref(), 3, (4,), (-1,), False,
+                         collections.OrderedDict()))
+
+        class _EvilPickler(pickle.Pickler):
+            def persistent_id(self, obj):
+                if isinstance(obj, _Ref):
+                    return ("storage", torch.FloatStorage, "0", "cpu", 4)
+                return None
+
+        buf = io.BytesIO()
+        _EvilPickler(buf, protocol=2).dump({"w": _Evil()})
+        path = str(tmp_path / "neg.pt")
+        with zipfile.ZipFile(path, "w") as archive:
+            archive.writestr("x/data.pkl", buf.getvalue())
+            archive.writestr("x/data/0", b"\x00" * 16)
+        with pytest.raises(pickle.UnpicklingError, match="negative"):
+            load_torch_zip(path)
+
 
 class TestConversionSemantics:
     """Converted weights fed to our ops must reproduce torch outputs."""

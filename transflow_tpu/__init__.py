@@ -34,6 +34,24 @@ def enable_compile_cache(path: str | None = None):
         pass
 
 
+def select_platform(platform: str | None = None):
+    """Force the jax backend before it initializes.
+
+    ``TRANSFLOW_PLATFORM=cpu transflow ...`` runs the whole pipeline on
+    host CPU. ``JAX_PLATFORMS`` alone is not enough in environments whose
+    sitecustomize registers a device plugin at interpreter startup and pins
+    the platform — the choice must go through jax.config before the first
+    backend use (same pattern as tests/conftest.py).
+    """
+    import os
+    platform = platform or os.environ.get("TRANSFLOW_PLATFORM")
+    if not platform:
+        return
+    import jax
+    jax.config.update("jax_platforms", platform)
+
+
 def main():
+    select_platform()
     from .cli import main as _main
     _main()

@@ -183,7 +183,16 @@ def _movement(params: LayerParams, channels: dict, alpha, flow,
     out = {k: sel(is_target, src_read(v), v) for k, v in channels.items()}
     new_alpha = jnp.where(is_target, src_read(alpha), alpha)
     if cfg.moving_pixels_leave_empty_spot:
-        flat_src = (src_i * w + src_j).ravel()
+        if halo is not None:
+            # Vacate the row the value gather actually read: the bounded
+            # gather clamps row reach to [-halo, halo] (then to the frame),
+            # so the scatter must apply the same clamp or a |flow_y| > halo
+            # pixel would be vacated at its true source while the
+            # destination receives data from the clamped row.
+            eff_i = jnp.clip(ii + jnp.clip(src_i - ii, -halo, halo), 0, h - 1)
+        else:
+            eff_i = src_i
+        flat_src = (eff_i * w + src_j).ravel()
         is_source = scatter_any((h, w), flat_src, is_target.ravel())
         new_alpha = jnp.where(is_source, 0, new_alpha)
     if cfg.transparent_pixels_can_move:

@@ -343,9 +343,11 @@ def convert_torch_state(state: dict) -> dict:
 
 
 def load_torch_weights(path: str) -> dict:
-    """Load the published torch checkpoint WITHOUT torch: the zip container
-    is parsed by a restricted pure-numpy unpickler (torch_zip.py), so the
-    flagship CNN works in torch-free deployments."""
+    """Load the published torch checkpoint WITHOUT torch: both the zip
+    container (torch >= 1.6) and the legacy sequential format (the 2019
+    network-default.pytorch vintage) are parsed by a restricted pure-numpy
+    unpickler (torch_zip.py), so the flagship CNN works in torch-free
+    deployments."""
     from .torch_zip import load_torch_zip
     state = load_torch_zip(path)
     state = {key.replace("module", "net"): np.asarray(value)
