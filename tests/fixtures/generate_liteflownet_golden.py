@@ -102,7 +102,97 @@ def gen_op_golden():
     np.savez(os.path.join(HERE, "liteflownet_golden.npz"), **out)
 
 
+def gen_fullnet_golden():
+    """Full-network golden computed by the ACTUAL reference network code.
+
+    Imports /root/reference's torch LiteFlowNet (cupy stubbed out, its CUDA
+    correlation replaced by a CPU stand-in reproducing the kernel's math:
+    49 shifted channel-mean products over a 3*stride zero-padded operand,
+    kernel_Correlation_updateOutput, reference liteflownet.py:48-116), loads
+    committed random weights through Network.load_state_dict (strict — an
+    independent shape check of the synthetic layout), and records
+    input->flow for the assembled pyramid plus the estimate() wrapper on a
+    non-multiple-of-32 frame pair. Proves the Flax pyramid WIRING (level
+    constants, feature routing, _FLT_BACKWARP scaling), not just per-op
+    conversion semantics."""
+    import sys
+    import types
+
+    import torch.nn.functional as F
+
+    cupy_stub = types.ModuleType("cupy")
+    cupy_stub.memoize = lambda **_kw: (lambda fn: fn)
+    cupy_stub.RawKernel = lambda *a, **k: None
+    cupy_stub.int32 = int
+    sys.modules.setdefault("cupy", cupy_stub)
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    sys.path.insert(0, os.path.dirname(HERE))  # tests/ for test_liteflownet
+    sys.path.insert(0, os.path.dirname(os.path.dirname(HERE)))  # repo root
+    import transflow.flow.methods.liteflownet as ref
+    from test_liteflownet import build_random_state, state_checksum
+
+    torch.Tensor.cuda = lambda self, *a, **k: self  # run the oracle on CPU
+
+    def cpu_correlation(tenOne, tenTwo, intStride):
+        b, c, h, w = tenOne.shape
+        pad = 3 * intStride
+        two_p = F.pad(tenTwo, (pad, pad, pad, pad))
+        one_s = tenOne[:, :, ::intStride, ::intStride]
+        outs = []
+        for k in range(49):
+            s2o = (k % 7 - 3) * intStride
+            s2p = (k // 7 - 3) * intStride
+            shifted = two_p[:, :, pad + s2p:pad + s2p + h:intStride,
+                            pad + s2o:pad + s2o + w:intStride]
+            outs.append((one_s * shifted).mean(dim=1))
+        return torch.stack(outs, dim=1)
+
+    ref.FunctionCorrelation = cpu_correlation
+
+    state = build_random_state()
+    torch.hub.load_state_dict_from_url = lambda *a, **k: {
+        key: torch.from_numpy(value) for key, value in state.items()}
+    net = ref.Network().train(False)
+
+    # weights re-derive deterministically from the seed in the test; only
+    # commit a checksum so an RNG-stream change fails loudly, not subtly
+    out = {"state_sha256": np.frombuffer(
+        bytes.fromhex(state_checksum(state)), np.uint8)}
+    rng = np.random.default_rng(21)
+
+    # assembled pyramid at /32 resolution (LiteFlowNet().apply parity point)
+    img1 = rng.random((64, 96, 3), np.float32)
+    img2 = np.clip(img1 + 0.1 * rng.standard_normal((64, 96, 3)), 0, 1) \
+        .astype(np.float32)
+    ten1 = torch.from_numpy(img1.transpose(2, 0, 1)).unsqueeze(0).clone()
+    ten2 = torch.from_numpy(img2.transpose(2, 0, 1)).unsqueeze(0).clone()
+    with torch.no_grad():
+        flow = net(ten1, ten2)
+    out["fullnet_img1"] = img1
+    out["fullnet_img2"] = img2
+    out["fullnet_flow"] = flow[0].permute(1, 2, 0).numpy()
+
+    # estimate() wrapper on uint8 BGR-order frames at a non-/32 size
+    # (reference :614-647: /255, BGR, resize to /32, net, resize back,
+    # magnitude rescale) — the liteflownet() entry-point parity point
+    frame1 = rng.integers(0, 256, (50, 70, 3), np.uint8)
+    frame2 = np.clip(frame1.astype(np.int16)
+                     + rng.integers(-20, 21, (50, 70, 3)), 0, 255) \
+        .astype(np.uint8)
+    ref.netNetwork = net  # skip lazy Network().cuda() construction
+    with torch.no_grad():
+        est = ref.calc_optical_flow_liteflownet(frame1, frame2)
+    out["estimate_frame1"] = frame1
+    out["estimate_frame2"] = frame2
+    out["estimate_flow"] = np.asarray(est, np.float32)
+
+    np.savez_compressed(os.path.join(HERE, "liteflownet_fullnet_golden.npz"),
+                        **out)
+
+
 if __name__ == "__main__":
     gen_mini_ckpt()
     gen_op_golden()
+    gen_fullnet_golden()
     print("fixtures written to", HERE)

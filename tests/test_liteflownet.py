@@ -83,6 +83,32 @@ def build_synthetic_state() -> dict:
     return state
 
 
+def build_random_state(seed: int = 11) -> dict:
+    """Deterministic random weights over the synthetic layout — shared
+    between the full-net golden generator (which feeds them to the
+    reference torch network) and the parity test (which feeds them to the
+    Flax pyramid), so the 21 MB of weights never needs committing; the
+    golden npz carries a checksum to catch RNG-stream drift."""
+    import math
+    rng = np.random.default_rng(seed)
+    state = {}
+    for key, zeros in build_synthetic_state().items():
+        scale = 0.5 if key.endswith(".bias") else \
+            0.3 / math.sqrt(max(1, int(np.prod(zeros.shape[1:]))))
+        state[key] = (scale * rng.standard_normal(zeros.shape)
+                      ).astype(np.float32)
+    return state
+
+
+def state_checksum(state: dict) -> str:
+    import hashlib
+    digest = hashlib.sha256()
+    for key in sorted(state):
+        digest.update(key.encode())
+        digest.update(np.ascontiguousarray(state[key]).tobytes())
+    return digest.hexdigest()
+
+
 class TestCorrelation:
 
     def oracle(self, f1, f2, stride):

@@ -211,6 +211,55 @@ class TestFullCheckpointPath:
         assert flow.shape == (32, 32, 2)
 
 
+class TestFullNetworkGolden:
+    """Assembled-pyramid parity against the ACTUAL reference network.
+
+    The golden was computed by /root/reference's torch Network (cupy
+    correlation replaced with a CPU stand-in of the same math) on
+    deterministic random weights — see generate_liteflownet_golden.py.
+    This catches wiring mistakes (level constants, feature routing,
+    _FLT_BACKWARP misuse) that per-op goldens cannot."""
+
+    @pytest.fixture(scope="class")
+    def fullnet(self):
+        from test_liteflownet import build_random_state, state_checksum
+        golden = np.load(
+            os.path.join(FIXTURES, "liteflownet_fullnet_golden.npz"))
+        state = build_random_state()
+        assert state_checksum(state) == bytes(
+            golden["state_sha256"]).hex(), (
+            "synthetic weight stream drifted — regenerate the golden")
+        return golden, state
+
+    def test_assembled_pyramid_matches_reference_net(self, fullnet):
+        golden, state = fullnet
+        from transflow_tpu.flow.estimators.liteflownet import (
+            LiteFlowNet, convert_torch_state)
+        variables = convert_torch_state(state)
+        flow = LiteFlowNet().apply(
+            variables, jnp.asarray(golden["fullnet_img1"]),
+            jnp.asarray(golden["fullnet_img2"]))
+        want = golden["fullnet_flow"]
+        assert flow.shape == want.shape
+        np.testing.assert_allclose(np.asarray(flow), want,
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_estimator_entry_matches_reference_estimate(self, fullnet):
+        """liteflownet() wrapper (BGR, /255, resize-to-/32, magnitude
+        rescale) vs the reference's calc_optical_flow_liteflownet on a
+        non-multiple-of-32 uint8 frame pair (reference :614-647)."""
+        golden, state = fullnet
+        from transflow_tpu.flow.estimators.liteflownet import (
+            convert_torch_state, liteflownet)
+        variables = convert_torch_state(state)
+        flow = liteflownet(golden["estimate_frame1"],
+                           golden["estimate_frame2"], params=variables)
+        want = golden["estimate_flow"]
+        assert flow.shape == want.shape
+        np.testing.assert_allclose(np.asarray(flow), want,
+                                   atol=1e-3, rtol=1e-3)
+
+
 class TestResizeSemantics:
 
     @pytest.mark.parametrize("name,target", [("resize_up", (64, 64)),
