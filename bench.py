@@ -26,6 +26,7 @@ dispatch overhead amortizes and state stays in VMEM).
 """
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -120,15 +121,20 @@ def _wait_for_healthy_tunnel(max_wait_s: float = 600.0) -> float:
         time.sleep(min(30.0, max(5.0, rtt)))
 
 
-def bench_tpu() -> dict:
+def bench_tpu(watchdog=None) -> dict:
     import jax
     import jax.numpy as jnp
     from transflow_tpu.config import LayerConfig
     from transflow_tpu.flow import Direction
     from transflow_tpu.model import FlowTransferModel
 
+    def progress(phase):
+        if watchdog is not None:
+            watchdog.rearm(phase)
+
     tunnel_rtt = (_wait_for_healthy_tunnel()
                   if jax.default_backend() != "cpu" else 0.0)
+    progress("compile")
 
     model = FlowTransferModel(
         HEIGHT, WIDTH,
@@ -159,7 +165,9 @@ def bench_tpu() -> dict:
     # realistic-workload gate: the small-probe RTT can look fine while a
     # full chunk's completion still arrives on a ~5-minute poll cycle
     # (observed failure mode). Retry single chunks until one completes
-    # quickly or the grace period ends; measurement proceeds either way.
+    # quickly or the grace period ends; measurement proceeds either way,
+    # but the final chunk RTT feeds the record's healthy verdict.
+    progress("chunk-gate")
     gate_deadline = time.monotonic() + 600.0
     chunk_no = [1000]
     while True:
@@ -173,6 +181,7 @@ def bench_tpu() -> dict:
         if chunk_rtt < 10.0 or time.monotonic() > gate_deadline:
             break
         time.sleep(30.0)
+    progress("fused-sample")
 
     sample_no = [0]
 
@@ -202,6 +211,7 @@ def bench_tpu() -> dict:
     fps = frames_per_sample / elapsed
     best_fps = frames_per_sample / best_elapsed
     ms_per_frame = 1000.0 * elapsed / frames_per_sample
+    progress("stage-estimator")
 
     # --- stage breakdown (per frame, steady-state, separate jits) -------
     gray0 = jnp.asarray(frames[0])
@@ -237,6 +247,7 @@ def bench_tpu() -> dict:
         return time.perf_counter() - start
 
     est_ms = 1000.0 * _steady_state(est_region, repeats=3) / CHUNKS_PER_SAMPLE
+    progress("stage-compositor")
 
     frame_numbers = model.default_frame_numbers()
 
@@ -276,10 +287,35 @@ def bench_tpu() -> dict:
 
     comp_ms = 1000.0 * _steady_state(comp_region, repeats=3) / CHUNKS_PER_SAMPLE
 
+    # ---- regime health verdict --------------------------------------
+    # A number taken in a sick tunnel regime is the infrastructure, not
+    # the framework (BASELINE.md documents the quantized-cycle signature);
+    # the record must SAY so instead of printing a plausible-looking fps.
+    unhealthy_reasons = []
+    if tunnel_rtt >= 2.0:
+        unhealthy_reasons.append(
+            f"small-probe readback RTT {tunnel_rtt:.1f}s (healthy: "
+            "sub-millisecond) after the full grace period")
+    if chunk_rtt >= 10.0:
+        unhealthy_reasons.append(
+            f"one {CHUNK}-frame chunk took {chunk_rtt:.0f}s to read back "
+            "(the ~5-min poll-cycle failure signature) after the gate's "
+            "grace period")
+    # physical consistency: the fused scan amortizes dispatch and keeps
+    # state in VMEM, so fused ms/frame must not exceed the SUM of the
+    # stages measured standalone by more than noise — when it does, the
+    # sample timings are infrastructure-quantized, not device compute
+    if ms_per_frame > 2.0 * (est_ms + comp_ms) and ms_per_frame > 1.0:
+        unhealthy_reasons.append(
+            f"fused {ms_per_frame:.1f} ms/frame exceeds 2x the stage sum "
+            f"({est_ms:.1f} + {comp_ms:.1f} ms) — timings are "
+            "infrastructure-bound, not compute-bound")
+
     return {
         "fps": fps,
         "best_fps": best_fps,
         "tunnel_rtt_s": round(tunnel_rtt, 3),
+        "chunk_gate_s": round(chunk_rtt, 3),
         "noise_iqr_pct": round(iqr_pct, 1),
         "ms_per_frame": ms_per_frame,
         "stage_ms": {"estimator": round(est_ms, 4),
@@ -287,6 +323,8 @@ def bench_tpu() -> dict:
                      "fused_total": round(ms_per_frame, 4)},
         "hbm_io_gbps": round(io_bytes_per_frame * fps / 1e9, 1),
         "vmem_resident_state_mb": round(state_bytes / 1e6, 1),
+        "healthy": not unhealthy_reasons,
+        "unhealthy_reasons": unhealthy_reasons,
     }
 
 
@@ -324,32 +362,107 @@ def bench_cpu_reference() -> float:
     return CPU_FRAMES / (time.perf_counter() - start)
 
 
-def _start_watchdog():
+class _Watchdog:
     """The device tunnel can become unresponsive for long stretches (a hung
     upload/readback is uninterruptible from this thread). Emit a parseable
-    error line and exit instead of hanging the driver forever."""
-    import threading
-    deadline = float(os.environ.get("TRANSFLOW_BENCH_DEADLINE", "2400"))
+    error line and exit instead of hanging the driver forever.
 
-    def fire():
+    The deadline measures time WITHOUT PROGRESS, not total wall time:
+    each completed phase (tunnel wait, compile, chunk gate, each timed
+    region) re-arms the timer. The bench's own grace periods — 600 s
+    tunnel wait + 600 s chunk gate + three 150 s region budgets, each of
+    which can legitimately run long in the degraded regimes the gates were
+    built for — therefore never sum against one deadline and an honest-slow
+    run is not misreported as an outage (advisor round 2)."""
+
+    def __init__(self):
+        import threading
+        self._threading = threading
+        self.deadline = float(
+            os.environ.get("TRANSFLOW_BENCH_DEADLINE", "2400"))
+        self.phase = "startup"
+        self._timer = None
+        self.rearm("startup")
+
+    def _fire(self):
         print(json.dumps({
             "metric": "1080p_e2e_fps_flow_warp_composite",
             "value": 0,
             "unit": "frames/sec",
             "vs_baseline": 0,
-            "error": f"device unresponsive for {deadline:.0f}s "
-                     "(tunnel down?); no measurement possible",
+            "healthy": False,
+            "error": f"device unresponsive for {self.deadline:.0f}s with no "
+                     f"progress (phase: {self.phase}; tunnel down?); no "
+                     "measurement possible",
         }), flush=True)
         os._exit(0)
 
-    timer = threading.Timer(deadline, fire)
-    timer.daemon = True
-    timer.start()
-    return timer
+    def rearm(self, phase: str):
+        """Mark progress: restart the no-progress countdown."""
+        self.phase = phase
+        if self._timer is not None:
+            self._timer.cancel()
+        self._timer = self._threading.Timer(self.deadline, self._fire)
+        self._timer.daemon = True
+        self._timer.start()
+
+    def cancel(self):
+        if self._timer is not None:
+            self._timer.cancel()
+
+
+def bench_e2e_cli(frames: int = 96) -> dict:
+    """Disk-to-disk CLI throughput: real video in -> the actual Pipeline
+    (decode threads -> chunked device scan -> encode thread) -> video out,
+    at 1080p. This is what `transflow flow.mp4 -p img.png -o out.mp4`
+    delivers end-to-end, host codecs included — the honest anchor next to
+    the device-only figure (which excludes decode/encode). MJPEG via
+    cv2 (this image has no ffmpeg binary); both still-image and
+    video-pixmap (the reference's mainline) configs are timed."""
+    import tempfile
+
+    import cv2
+
+    from transflow_tpu.config import Config, PixmapSourceConfig
+    from transflow_tpu.pipeline import Pipeline
+
+    root = tempfile.mkdtemp(prefix="transflow_bench_e2e_")
+    src = os.path.join(root, "src.avi")
+    writer = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"MJPG"), 30.0,
+                             (WIDTH, HEIGHT))
+    grays = make_frames(frames, seed=2)
+    for frame in grays:
+        writer.write(cv2.cvtColor(frame, cv2.COLOR_GRAY2BGR))
+    writer.release()
+    pix = os.path.join(root, "pix.png")
+    cv2.imwrite(pix, np.random.default_rng(0).integers(
+        0, 256, (HEIGHT, WIDTH, 3), dtype=np.uint8))
+
+    out = {}
+    for name, pixmap_path in (("still_pixmap", pix),
+                              ("video_pixmap", src)):
+        dst = os.path.join(root, f"out_{name}.avi")
+        cfg = Config(src, output_path=dst, vcodec="mjpeg",
+                     pixmap_sources=[PixmapSourceConfig(pixmap_path)],
+                     seed=0)
+        pipeline = Pipeline(cfg, progress=False, execute=False, replace=True,
+                            export_config=False)
+        start = time.perf_counter()
+        pipeline.run()
+        elapsed = time.perf_counter() - start
+        assert pipeline.cursor == frames - 1, pipeline.cursor
+        out[f"e2e_fps_{name}"] = round(pipeline.cursor / elapsed, 2)
+        out[f"e2e_batch_{name}"] = pipeline._batch_size
+    for path in os.listdir(root):
+        try:
+            os.remove(os.path.join(root, path))
+        except OSError:
+            pass
+    return out
 
 
 def main():
-    watchdog = _start_watchdog()
+    watchdog = _Watchdog()
     record_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".bench_cpu_baseline.json")
     cpu_fps = None
@@ -367,21 +480,57 @@ def main():
                            "width": WIDTH, "timestamp": time.time()}, file)
         except OSError:
             pass
-    tpu = bench_tpu()
+    e2e = {}
+    if "--e2e" in sys.argv:
+        watchdog.rearm("e2e-cli")
+        e2e = bench_e2e_cli()
+    watchdog.rearm("tunnel-wait")
+    tpu = bench_tpu(watchdog)
+    if not tpu["healthy"] and os.environ.get(
+            "TRANSFLOW_BENCH_RETRY", "1") != "0":
+        # one more attempt after a cool-down: sick regimes have been
+        # observed clearing within minutes (and persisting for hours —
+        # in which case the refusal record below is the honest output)
+        watchdog.rearm("retry-cooldown")
+        time.sleep(120.0)
+        tpu = bench_tpu(watchdog)
     watchdog.cancel()
+    if not tpu["healthy"]:
+        # REFUSAL record: a sick-regime number is the infrastructure, not
+        # the framework — never print it as a bare plausible-looking value
+        print(json.dumps({
+            "metric": "1080p_e2e_fps_flow_warp_composite",
+            "value": 0,
+            "unit": "frames/sec",
+            "vs_baseline": 0,
+            "healthy": False,
+            "error": "tunnel regime unhealthy — measurement refused: "
+                     + "; ".join(tpu["unhealthy_reasons"]),
+            "raw_unhealthy_fps": round(tpu["fps"], 2),
+            "tunnel_rtt_s": tpu["tunnel_rtt_s"],
+            "chunk_gate_s": tpu["chunk_gate_s"],
+            "stage_ms": tpu["stage_ms"],
+            "cpu_reference_fps": round(cpu_fps, 3),
+            "healthy_reference": "28k-101k fps on a healthy tunnel "
+                                 "(BASELINE.md, same binary)",
+        }))
+        return
     print(json.dumps({
         "metric": "1080p_e2e_fps_flow_warp_composite",
         "value": round(tpu["fps"], 2),
         "unit": "frames/sec",
         "vs_baseline": round(tpu["fps"] / cpu_fps, 2),
+        "healthy": True,
         "ms_per_frame": round(tpu["ms_per_frame"], 4),
         "best_fps": round(tpu["best_fps"], 2),
         "noise_iqr_pct": tpu["noise_iqr_pct"],
         "tunnel_rtt_s": tpu["tunnel_rtt_s"],
+        "chunk_gate_s": tpu["chunk_gate_s"],
         "stage_ms": tpu["stage_ms"],
         "hbm_io_gbps": tpu["hbm_io_gbps"],
         "vmem_resident_state_mb": tpu["vmem_resident_state_mb"],
         "cpu_reference_fps": round(cpu_fps, 3),
+        **e2e,
     }))
 
 

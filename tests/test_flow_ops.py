@@ -185,6 +185,16 @@ class TestFilters:
         filters = FlowFilter.parse_many("scale=2; threshold=0.5")
         assert len(filters) == 2
 
+    def test_static_clip_bound(self):
+        """Constant clip bounds derive the sharded-run halo; dynamic
+        expressions must yield no bound."""
+        from transflow_tpu.flow.filters import static_clip_bound
+        assert static_clip_bound("clip=4") == 4.0
+        assert static_clip_bound("scale=2;clip=6.5;clip=3") == 3.0
+        assert static_clip_bound("clip=2*t") is None
+        assert static_clip_bound("scale=2") is None
+        assert static_clip_bound(None) is None
+
 
 class TestMerge:
 

@@ -310,7 +310,17 @@ def build_parser() -> argparse.ArgumentParser:
     group = parser.add_argument_group("general options")
     group.add_argument("--seed", type=int, default=None, help="random seed")
     group.add_argument("--batch-frames", type=int, default=None,
-                       help="frames per device dispatch (TPU batching)")
+                       help="frames per device dispatch (TPU batching; "
+                       "default: auto-chunk eligible renders, 1 disables)")
+    group.add_argument("--mesh", type=str, default=None,
+                       help="shard the render over N chips ('8' or '1x8'): "
+                       "every (H, W) recurrence array splits along H over "
+                       "the device mesh")
+    group.add_argument("--halo", type=int, default=None,
+                       help="movement-gather row bound under --mesh "
+                       "(neighbor-row exchange instead of full-state "
+                       "all-gathers; auto-derived from a constant clip "
+                       "filter)")
 
     group = parser.add_argument_group("processing options")
     group.add_argument("-S", "--safe", action="store_true",
@@ -432,6 +442,8 @@ def config_from_args(args) -> "Config":
         render_binary=args.render_binary,
         seed=args.seed,
         batch_frames=args.batch_frames,
+        mesh=args.mesh,
+        halo=args.halo,
     )
 
 

@@ -187,7 +187,9 @@ class Config:
                  render_colors=None,
                  render_binary: bool = False,
                  seed: int | None = None,
-                 batch_frames: int | None = None):
+                 batch_frames: int | None = None,
+                 mesh: str | None = None,
+                 halo: int | None = None):
         # Flow args
         self.flow_path = flow_path
         self.extra_flow_paths = [] if extra_flow_paths is None else extra_flow_paths
@@ -252,6 +254,14 @@ class Config:
         self.seed: int = random.randint(0, 2 ** 32 - 1) if seed is None else seed
         # TPU-specific: frames per device dispatch (lax.scan chunk). None = auto.
         self.batch_frames = batch_frames
+        # TPU-specific: multi-chip spatial sharding. mesh = device count
+        # ("8") or "STREAMxSPACE" ("1x8"); the CLI pipeline renders one
+        # stream, so STREAM must be 1 (multi-stream batching lives in
+        # extra/batch_render.py). halo = movement-gather displacement bound
+        # (rows exchanged between neighbor shards, parallel/mesh.py); None
+        # auto-derives it from a constant clip filter when mesh is set.
+        self.mesh = mesh
+        self.halo = halo
 
     @classmethod
     def fromdict(cls, d: dict) -> "Config":
@@ -285,6 +295,8 @@ class Config:
             render_binary=d.get("render_binary", False),
             seed=d.get("seed"),
             batch_frames=d.get("batch_frames"),
+            mesh=d.get("mesh"),
+            halo=d.get("halo"),
         )
 
     def todict(self) -> dict:
@@ -316,6 +328,8 @@ class Config:
             "render_binary": self.render_binary,
             "seed": self.seed,
             "batch_frames": self.batch_frames,
+            "mesh": self.mesh,
+            "halo": self.halo,
             "timestamp": time.time(),
             "command": {"executable": sys.executable, "argv": sys.argv},
         }

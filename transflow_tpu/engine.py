@@ -27,11 +27,15 @@ logger = logging.getLogger(__name__)
 
 
 class SourceRuntime:
-    """Device-side state for one flow source."""
+    """Device-side state for one flow source.
 
-    def __init__(self, source: FlowSource, estimator_step):
+    ``put``: upload function for (H, W[, C]) arrays — plain device_put on
+    one chip, H-sharded placement under a ('space',) mesh."""
+
+    def __init__(self, source: FlowSource, estimator_step, put=None):
         self.source = source
         self.estimator_step = estimator_step  # None for flow-yielding sources
+        self.put = put if put is not None else jax.device_put
         self.prev_gray = None
         self.prev_flow = None
         self.last_raw = None
@@ -50,8 +54,8 @@ class SourceRuntime:
 
     def reset(self, prime_frame: np.ndarray):
         h, w = self.source.height, self.source.width
-        self.prev_gray = jax.device_put(np.asarray(prime_frame))
-        self.prev_flow = jnp.zeros((h, w, 2), dtype=jnp.float32)
+        self.prev_gray = self.put(np.asarray(prime_frame))
+        self.prev_flow = self.put(np.zeros((h, w, 2), dtype=np.float32))
 
     def ingest(self, item: FlowItem):
         """Consume a FlowItem, return the raw device flow for this tick."""
@@ -65,12 +69,12 @@ class SourceRuntime:
 
     def _advance(self, item: FlowItem, keep: bool):
         if item.kind == FlowItem.FLOW:
-            raw = jnp.asarray(item.array, dtype=jnp.float32)
+            raw = self.put(np.asarray(item.array, dtype=np.float32))
         else:
             if item.prime is not None:
                 self.reset(item.prime)
             self._maybe_rejit()
-            gray = jax.device_put(np.asarray(item.array))
+            gray = self.put(np.asarray(item.array))
             raw = self.estimator_step(self.prev_gray, gray, self.prev_flow)
             self.prev_gray = gray
             if keep:
@@ -133,12 +137,45 @@ class Engine:
                  out_width: int,
                  width_factor: int = 1,
                  height_factor: int = 1,
-                 export_flows: bool = False):
+                 export_flows: bool = False,
+                 mesh=None,
+                 halo: int | None = None):
+        """``mesh``: a 1-axis ('space',) jax Mesh — every (H, W[, C])
+        recurrence array is H-sharded across its devices and the fused
+        programs run under GSPMD (pixmaps/masks/weights replicated,
+        parallel/mesh.py has the layout rationale). ``halo``: bounded
+        movement-gather displacement so shard-boundary reads become
+        neighbor-row collective-permutes instead of per-frame full-state
+        all-gathers; pair with a clip filter for exactness."""
         self.cfg = cfg
         self.out_height = out_height
         self.out_width = out_width
         self.width_factor = width_factor
         self.height_factor = height_factor
+        self.mesh = mesh
+        self.halo = halo
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from .parallel.mesh import space_chunk_spec, space_state_spec
+
+            def put_state(x):
+                x = np.asarray(x)
+                return jax.device_put(x, NamedSharding(
+                    mesh, space_state_spec(x.ndim)))
+
+            def put_chunk(x):
+                x = np.asarray(x)
+                return jax.device_put(x, NamedSharding(
+                    mesh, space_chunk_spec(x.ndim)))
+
+            def put_repl(x):
+                return jax.device_put(x, NamedSharding(
+                    mesh, PartitionSpec()))
+        else:
+            put_state = put_chunk = put_repl = jax.device_put
+        self._put_state = put_state
+        self._put_chunk = put_chunk
+        self._put_repl = put_repl
         self.key = jax.random.key(cfg.seed)  # typed key: clean (de)serialization
         self.runtimes: list[SourceRuntime] = []
         for source in flow_sources:
@@ -147,13 +184,22 @@ class Engine:
                 estimator_step = make_estimator_step(
                     source.config.method, source.config.estimator_kwargs(),
                     source.direction)
-            self.runtimes.append(SourceRuntime(source, estimator_step))
+                if mesh is not None and estimator_step.params != ():
+                    estimator_step.params = jax.tree.map(
+                        put_repl, estimator_step.params)
+            self.runtimes.append(
+                SourceRuntime(source, estimator_step, put=put_state))
         postprocesses = [src.build_postprocess() for src in flow_sources]
         merge = get_merge_function(cfg.flows_merging_function)
+        if mesh is not None:
+            layer_params = jax.tree.map(put_repl, layer_params)
         self.layer_params = layer_params
         init_fn, comp_step = build_compositor(
-            layer_params, out_height, out_width, cfg.compositor_background)
+            layer_params, out_height, out_width, cfg.compositor_background,
+            halo=halo)
         self.comp_state = init_fn()
+        if mesh is not None:
+            self.comp_state = jax.tree.map(put_state, self.comp_state)
         render_mode = ("flow" if cfg.view_flow
                        else "magnitude" if cfg.view_flow_magnitude
                        else "compositor" if any(
@@ -162,8 +208,9 @@ class Engine:
         wf, hf = width_factor, height_factor
         # flow masks travel as jit args (not closure constants — see
         # LayerParams docstring for why); device_put once, reused every frame
+        # ((H, W) at flow resolution: H-sharded under a mesh, elementwise use)
         self._pp_masks = tuple(
-            None if pp.mask is None else jax.device_put(pp.mask)
+            None if pp.mask is None else put_state(pp.mask)
             for pp in postprocesses)
 
         def device_step(comp_state, raw_flows, t, pixmaps, key,
@@ -190,26 +237,43 @@ class Engine:
         # donation lets XLA update the (H, W) buffers in place
         self._device_step = jax.jit(device_step, donate_argnums=(0,))
 
-        def device_scan(comp_state, prev_gray, prev_flow, grays, t0,
-                        pixmaps, key, frame0, params_list, pp_masks,
-                        est_params):
+        def device_scan(comp_state, prev_gray, prev_flow, key, grays, t0,
+                        const_pixmaps, pix_chunks, frame0, params_list,
+                        pp_masks, est_params):
             """lax.scan over a (K, H, W) chunk — single frame-source fast
-            path; one dispatch per chunk instead of per frame."""
+            path; one dispatch per chunk instead of per frame.
+
+            Pixmap slots come in two static structures: ``const_pixmaps``
+            holds (H, W, C) device arrays for constant sources (None in
+            video slots) and ``pix_chunks`` holds (K, H, W, C) stacked
+            decoded frames for video sources (None in constant slots) —
+            the stacked slots are scanned over, so the reference's
+            mainline ``flow.mp4 -p pixmap.mp4`` case batches too
+            (transflow/pipeline.py:379-438 streams video pixmaps).
+
+            The RNG key travels in the scan CARRY and splits once per step
+            exactly like process_frame, so chunked output is bit-equal to
+            the per-frame path including random resets."""
             # NOTE: bound at trace time — chunked mode does not follow live
             # estimator re-tuning (the pipeline gates batching accordingly)
             estimator_step = self.runtimes[0].estimator_step
             k = grays.shape[0]
-            keys = jax.random.split(key, k)
             ts = t0 + jnp.arange(k, dtype=jnp.float32) / max(
                 1e-6, self._framerate)
             frame_nos = frame0 + jnp.arange(k, dtype=jnp.int32)
 
             def body(carry, inputs):
-                comp_state, prev_gray, prev_flow = carry
-                gray, t, subkey, fno = inputs
+                comp_state, prev_gray, prev_flow, key = carry
+                gray, t, fno, chunk_k = inputs
+                key, subkey = jax.random.split(key)
                 # weights as scan-program args, not trace constants
                 raw = estimator_step.fn(prev_gray, gray, prev_flow,
                                         est_params)
+                pixmaps = tuple(
+                    tuple(const if chunk is None else chunk
+                          for const, chunk in zip(const_layer, chunk_layer))
+                    for const_layer, chunk_layer
+                    in zip(const_pixmaps, chunk_k))
                 frame_numbers = jax.tree.map(lambda _: fno, frame_numbers0)
                 comp_state, frame, flow = device_step(
                     comp_state, (raw,), t, pixmaps, subkey, frame_numbers,
@@ -218,37 +282,45 @@ class Engine:
                 # only stacked (K, H, W, 2 extra HBM + transfer) when a
                 # .flow.zip is actually being written
                 out = (frame, flow) if export_flows else (frame, ())
-                return (comp_state, gray, raw), out
+                return (comp_state, gray, raw, key), out
 
             frame_numbers0 = tuple(
                 tuple(0 for _ in p.channel_counts) for p in layer_params)
-            (comp_state, prev_gray, prev_flow), (frames, flows) = jax.lax.scan(
-                body, (comp_state, prev_gray, prev_flow),
-                (grays, ts, keys, frame_nos))
-            return comp_state, prev_gray, prev_flow, frames, flows
+            ((comp_state, prev_gray, prev_flow, key),
+             (frames, flows)) = jax.lax.scan(
+                body, (comp_state, prev_gray, prev_flow, key),
+                (grays, ts, frame_nos, pix_chunks))
+            return comp_state, prev_gray, prev_flow, key, frames, flows
 
         self._device_scan = jax.jit(device_scan, donate_argnums=(0, 1, 2))
         self._framerate = 30.0  # set by the pipeline before chunking
 
     # ------------------------------------------------------------------
 
-    def process_chunk(self, gray_frames: np.ndarray, pixmaps, t0: float,
-                      frame0: int):
+    def process_chunk(self, gray_frames: np.ndarray, const_pixmaps,
+                      pix_chunks, t0: float, frame0: int):
         """Process a stacked (K, H, W) chunk through one scanned dispatch.
 
         Only valid for a single frame-yielding flow source (the pipeline
-        gates on that); returns the K rendered frames as one device array,
-        plus the K post-processed flows when the engine was built with
-        ``export_flows`` (else ``()``)."""
+        gates on that). ``const_pixmaps``/``pix_chunks``: per-layer tuples
+        of per-source slots — constant sources carry their persistent
+        (H, W, C) device array in the first structure (None in the second);
+        video sources carry a stacked (K, H, W, C) host chunk in the second
+        (None in the first). Returns the K rendered frames as one device
+        array, plus the K post-processed flows when the engine was built
+        with ``export_flows`` (else ``()``)."""
         runtime = self.runtimes[0]
         runtime._maybe_rejit()
-        grays = jax.device_put(np.ascontiguousarray(gray_frames))
-        self.key, sub = jax.random.split(self.key)
-        (self.comp_state, runtime.prev_gray, runtime.prev_flow,
+        grays = self._put_chunk(np.ascontiguousarray(gray_frames))
+        # pixmaps replicate under a mesh: the render gather's reach through
+        # the accumulated mapping is unbounded (parallel/mesh.py)
+        pix_chunks = jax.tree.map(
+            lambda x: self._put_repl(np.ascontiguousarray(x)), pix_chunks)
+        (self.comp_state, runtime.prev_gray, runtime.prev_flow, self.key,
          frames, flows) = self._device_scan(
-            self.comp_state, runtime.prev_gray, runtime.prev_flow, grays,
-            jnp.float32(t0), pixmaps, sub, jnp.int32(frame0),
-            self.layer_params, self._pp_masks,
+            self.comp_state, runtime.prev_gray, runtime.prev_flow, self.key,
+            grays, jnp.float32(t0), const_pixmaps, pix_chunks,
+            jnp.int32(frame0), self.layer_params, self._pp_masks,
             runtime.estimator_step.params)
         runtime.last_raw = runtime.prev_flow
         return frames, flows
@@ -290,6 +362,6 @@ class Engine:
                 if stored is None:
                     loaded[name] = value
                 else:
-                    loaded[name] = jnp.asarray(stored)
+                    loaded[name] = self._put_state(np.asarray(stored))
             new_state.append(loaded)
         self.comp_state = new_state

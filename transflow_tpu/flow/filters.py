@@ -45,6 +45,30 @@ class FlowFilter:
         return out
 
 
+def static_clip_bound(filters_string: str | None) -> float | None:
+    """Smallest CONSTANT clip bound among the filters, else None.
+
+    Used to auto-derive the movement-gather halo for sharded runs: after a
+    ``clip=K`` filter with a numeric (t-independent) K, per-frame
+    displacements are bounded by K, so a halo of ceil(K) rows makes the
+    bounded gather exact (ops/halo_gather.py). Time-varying expressions
+    give no static bound."""
+    if filters_string is None:
+        return None
+    bounds = []
+    for part in filters_string.strip().split(";"):
+        if not part.strip() or "=" not in part:
+            continue
+        eq = part.index("=")
+        if part[:eq].strip() != "clip":
+            continue
+        try:
+            bounds.append(float(part[eq + 1:].strip()))
+        except ValueError:
+            continue
+    return min(bounds) if bounds else None
+
+
 class ScaleFilter(FlowFilter):
     """flow *= expr(t)"""
 

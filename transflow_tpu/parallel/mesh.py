@@ -66,6 +66,40 @@ def make_mesh(n_devices: int | None = None, stream_axis: int | None = None):
     return Mesh(grid, axis_names=("stream", "space"))
 
 
+def parse_mesh_spec(spec: str) -> tuple[int, int]:
+    """'8' -> (1, 8); '2x4' -> (2, 4) as (stream, space)."""
+    spec = spec.strip().lower()
+    if "x" in spec:
+        stream_str, space_str = spec.split("x", 1)
+        return int(stream_str), int(space_str)
+    return 1, int(spec)
+
+
+def make_space_mesh(n_space: int):
+    """1-axis ('space',) mesh for single-stream spatially-sharded runs (the
+    CLI pipeline: one video, H split over chips)."""
+    devices = jax.devices()
+    if n_space > len(devices):
+        raise ValueError(
+            f"mesh wants {n_space} devices but only {len(devices)} are "
+            "visible")
+    return Mesh(np.asarray(devices[:n_space]), axis_names=("space",))
+
+
+def space_state_spec(leaf_ndim: int) -> P:
+    """Engine-state leaves are (H, W[, C]): shard H over 'space'."""
+    if leaf_ndim < 2:
+        return P()
+    return P("space", *([None] * (leaf_ndim - 1)))
+
+
+def space_chunk_spec(leaf_ndim: int) -> P:
+    """Stacked chunks are (K, H, W[, C]): shard H over 'space'."""
+    if leaf_ndim < 3:
+        return P()
+    return P(None, "space", *([None] * (leaf_ndim - 2)))
+
+
 def state_spec(leaf_ndim: int) -> P:
     """State leaves carry a leading stream dim then H: (S, H, ...)."""
     if leaf_ndim < 2:

@@ -366,29 +366,78 @@ class Pipeline:
                                          sources_by_layer)
         self._layer_bindings = [bindings.get(cfg.index, [])
                                 for cfg in self.config.layers]
+        mesh, halo = self._build_mesh(out_h)
         self.engine = Engine(self.config, self.flow_sources, layer_params,
                              out_h, out_w, self.width_factor,
                              self.height_factor,
-                             export_flows=self.export_flow)
+                             export_flows=self.export_flow,
+                             mesh=mesh, halo=halo)
         self.engine._framerate = self.fs_framerate
         if self.ckpt_arrays:
             self.engine.load_state_arrays(self.ckpt_arrays)
         # device pixmap slots
         self._pix_current = [None] * len(self.pixmap_sources)
+        self._pix_host = [None] * len(self.pixmap_sources)
         self._pix_frame_no = [-1] * len(self.pixmap_sources)
         self._pix_constant = [getattr(s, "is_constant", False)
                               for s in self.pixmap_sources]
         for pix_idx, peek in getattr(self, "_pix_peek", {}).items():
             self._push_pixmap(pix_idx, peek)
 
-    def _push_pixmap(self, pix_idx: int, frame: np.ndarray):
+    def _build_mesh(self, out_h: int):
+        """--mesh/--halo: build the ('space',) device mesh for this render.
+
+        Returns (mesh, halo). halo auto-derives from a constant clip
+        filter (scaled by the pixmap upscale factor — upscale_flow
+        multiplies magnitudes) when --halo is not given; without either,
+        the movement gather falls back to the all-gather-bound path with a
+        warning (parallel/mesh.py has the measurements)."""
+        halo = self.config.halo
+        if not self.config.mesh:
+            return None, halo
+        from .parallel import make_space_mesh, parse_mesh_spec
+        stream, space = parse_mesh_spec(self.config.mesh)
+        if stream != 1:
+            raise ValueError(
+                f"--mesh {self.config.mesh}: the CLI pipeline renders one "
+                "stream; use STREAM=1 (multi-stream batching lives in "
+                "extra/batch_render.py)")
+        if space <= 1:
+            return None, halo
+        if out_h % space or self.fs_height % space:
+            raise ValueError(
+                f"--mesh {self.config.mesh}: height {self.fs_height} "
+                f"(output {out_h}) must divide by the space axis {space}")
+        mesh = make_space_mesh(space)
+        if halo is None:
+            from .flow.filters import static_clip_bound
+            bound = static_clip_bound(self.config.flow_filters)
+            if bound is not None and self.config.kernel_path is None:
+                halo = int(np.ceil(bound * max(1, self.height_factor)))
+                logger.info("mesh: derived halo=%d from the clip filter",
+                            halo)
+            else:
+                logger.warning(
+                    "--mesh without --halo and no constant clip filter: "
+                    "movement gathers will all-gather the full state every "
+                    "frame; pass --halo K or add a clip=K flow filter")
+        return mesh, halo
+
+    def _prep_pixmap_frame(self, frame: np.ndarray) -> np.ndarray:
         out_h = self.fs_height * self.height_factor
         out_w = self.fs_width * self.width_factor
         if frame.shape[0] != out_h or frame.shape[1] != out_w:
             import cv2
             frame = cv2.resize(frame, (out_w, out_h),
                                interpolation=cv2.INTER_NEAREST)
-        self._pix_current[pix_idx] = jax.device_put(frame)
+        return frame
+
+    def _push_pixmap(self, pix_idx: int, frame: np.ndarray):
+        frame = self._prep_pixmap_frame(frame)
+        self._pix_host[pix_idx] = frame  # chunk stacking reads host copies
+        put = (self.engine._put_repl if self.engine is not None
+               else jax.device_put)  # pixmaps replicate under a mesh
+        self._pix_current[pix_idx] = put(frame)
         self._pix_frame_no[pix_idx] += 1
 
     def _setup_flow_export(self):
@@ -523,13 +572,26 @@ class Pipeline:
         except queue.Full:
             pass
 
+    #: frames per dispatch when --batch-frames is unset and the config is
+    #: chunk-eligible: amortizes one host<->device round trip over 16 frames
+    #: (decode threads keep up; 16x1080p chunks stay well under HBM)
+    AUTO_BATCH = 16
+
     @property
     def _batch_size(self) -> int:
-        """Frames per device dispatch. Chunked (lax.scan) mode needs: an
-        explicit --batch-frames, exactly one frame-yielding flow source, no
-        lock expression, no live tuning window, and constant pixmaps (video
-        pixmaps advance per frame on the host)."""
-        batch = self.config.batch_frames or 0
+        """Frames per device dispatch. Chunked (lax.scan) mode needs:
+        exactly one frame-yielding non-stream flow source, no lock
+        expression, no live tuning window, and no window output (a K-frame
+        chunk would add K frames of preview latency). Still AND video
+        pixmaps both batch (video frames stack into scanned (K, H, W, C)
+        chunks — the reference's mainline ``flow.mp4 -p pixmap.mp4`` case).
+        Batching is ON by default (AUTO_BATCH); ``--batch-frames 1`` forces
+        the per-frame path, ``--batch-frames K`` picks the chunk size.
+        Chunked output is bit-equal to per-frame (tested), so the default
+        only changes throughput."""
+        batch = self.config.batch_frames
+        if batch is None:
+            batch = self.AUTO_BATCH
         if batch <= 1:
             return 1
         if len(self.flow_sources) != 1:
@@ -537,17 +599,48 @@ class Pipeline:
         source = self.flow_sources[0]
         if not source.yields_frames or self.config.lock_expr is not None:
             return 1
+        if source.is_stream:  # webcam: realtime, keep per-frame latency
+            return 1
         if getattr(source.config, "show_window", False):
             return 1
-        if not all(self._pix_constant):
+        if self.window_outputs:
             return 1
         return batch
+
+    def _stack_pixmap_chunks(self, count: int):
+        """Pull video-pixmap frames covering cursors [cursor, cursor+count).
+
+        Returns ({pix_idx: (K, H, W, C) ndarray}, K) with K <= count — a
+        video pixmap ending (no repeat) truncates the chunk, mirroring the
+        per-frame path's StopIteration."""
+        chunks: dict[int, list] = {}
+        for pix_idx, thread in enumerate(self.pixmap_threads):
+            if thread is None:
+                continue  # constant source: persistent device copy
+            frames = []
+            for k in range(count):
+                fno = self.cursor + k
+                if self._pix_frame_no[pix_idx] < fno:
+                    try:
+                        frame = thread.get()
+                    except StopIteration:
+                        count = k
+                        break
+                    self._pix_host[pix_idx] = self._prep_pixmap_frame(frame)
+                    self._pix_frame_no[pix_idx] += 1
+                frames.append(self._pix_host[pix_idx])
+            chunks[pix_idx] = frames
+        return ({i: np.stack(f[:count]) for i, f in chunks.items()}
+                if count else {}, count)
 
     def _mainloop_batched(self, started, total, bar, batch):
         """Chunked fast path: stack K decoded frames, one scanned dispatch."""
         timers = self.timers
         source_thread = self.flow_threads[0]
-        pixmaps, _ = self._gather_pixmaps()
+        const_pixmaps = tuple(
+            tuple(self._pix_current[i] if self._pix_constant[i] else None
+                  for i in binding)
+            for binding in self._layer_bindings)
         done = False
         pending = None  # item whose prime forced a chunk flush (repeat loop)
         while not done:
@@ -559,6 +652,12 @@ class Pipeline:
             with timers.stage("decode_wait"):
                 want = batch if total is None else min(
                     batch, total - self.cursor)
+                if self.checkpoint_every:
+                    # align chunks to checkpoint boundaries so
+                    # --checkpoint-every fires at exact multiples with
+                    # exact cursors, like the per-frame path
+                    want = min(want, self.checkpoint_every
+                               - self.cursor % self.checkpoint_every)
                 if pending is not None:
                     self.engine.runtimes[0].reset(pending.prime)
                     grays.append(pending.array)
@@ -578,15 +677,24 @@ class Pipeline:
                             break
                         self.engine.runtimes[0].reset(item.prime)
                     grays.append(item.array)
+                chunk_map, avail = self._stack_pixmap_chunks(len(grays))
+                if avail < len(grays):
+                    grays = grays[:avail]
+                    done = True
+                    pending = None
             if not grays:
                 break
+            pix_chunks = tuple(
+                tuple(None if self._pix_constant[i] else chunk_map[i]
+                      for i in binding)
+                for binding in self._layer_bindings)
             base = self.ckpt_meta.get("cursor", 0) + self.cursor
             with timers.stage("device_step"):
                 # frame numbers are run-relative like the per-frame path
                 # (_gather_pixmaps); t is absolute like the per-frame path
                 frames, flows = self.engine.process_chunk(
-                    np.stack(grays), pixmaps, base / self.fs_framerate,
-                    self.cursor)
+                    np.stack(grays), const_pixmaps, pix_chunks,
+                    base / self.fs_framerate, self.cursor)
             with timers.stage("drain"):
                 if self.flow_output is not None:
                     host_flows = np.asarray(flows)
