@@ -339,6 +339,30 @@ class TestMeshPipeline:
             fb = cv2.imread(str(b))
             assert np.array_equal(fa, fb), a.name
 
+    def test_mesh_checkpoint_resume(self, assets, tmp_path):
+        """Checkpoints written by a sharded run resume bit-exact (state
+        arrays gather to host on save, re-shard on load)."""
+        import jax
+        assert len(jax.devices()) >= 8
+        out = str(tmp_path / "mk.avi")
+        template = str(tmp_path / "mk-%03d.png")
+        cfg = Config(assets["video"], output_path=[out, template],
+                     vcodec="mjpeg", flow_filters="clip=4",
+                     pixmap_sources=[PixmapSourceConfig(assets["image"])],
+                     layers=[LayerConfig(0, reset_mode="random",
+                                         reset_random_factor=0.1)],
+                     seed=41, mesh="1x8")
+        run_pipeline(cfg, replace=True, checkpoint_every=5)
+        ckpt = str(tmp_path / "mk_00005.ckpt.zip")
+        assert os.path.isfile(ckpt)
+        for png in tmp_path.glob("mk-*.png"):
+            png.rename(tmp_path / png.name.replace("mk-", "orig-"))
+        run_pipeline(Config(ckpt), replace=True)
+        resumed = cv2.imread(str(tmp_path / "mk-007.png"))
+        original = cv2.imread(str(tmp_path / "orig-007.png"))
+        assert original is not None and resumed is not None
+        assert np.array_equal(resumed, original)
+
     def test_mesh_rejects_bad_specs(self, assets, tmp_path):
         out = str(tmp_path / "bad.avi")
         cfg = self._cfg(assets, out, "2x4", None)

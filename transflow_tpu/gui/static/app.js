@@ -190,6 +190,12 @@ function buildConfig() {
   };
   const seed = value("seed");
   if (seed !== null) config.seed = parseInt(seed, 10);
+  const batch = value("batch_frames");
+  if (batch !== null) config.batch_frames = parseInt(batch, 10);
+  const mesh = value("mesh");
+  if (mesh !== null) config.mesh = mesh;
+  const halo = value("halo");
+  if (halo !== null) config.halo = parseInt(halo, 10);
   return config;
 }
 
@@ -243,6 +249,9 @@ function applyConfig(config) {
   set("view_flow", config.view_flow);
   set("view_flow_magnitude", config.view_flow_magnitude);
   set("seed", config.seed);
+  set("batch_frames", config.batch_frames);
+  set("mesh", config.mesh);
+  set("halo", config.halo);
   pixmaps = (config.pixmap_sources || []).slice(0, MAX_PIXMAPS).map(p => ({
     path: p.path ?? "noise",
     layers: (p.layers || [0]).join(","),
