@@ -453,11 +453,8 @@ def bench_e2e_cli(frames: int = 96) -> dict:
         assert pipeline.cursor == frames - 1, pipeline.cursor
         out[f"e2e_fps_{name}"] = round(pipeline.cursor / elapsed, 2)
         out[f"e2e_batch_{name}"] = pipeline._batch_size
-    for path in os.listdir(root):
-        try:
-            os.remove(os.path.join(root, path))
-        except OSError:
-            pass
+    import shutil
+    shutil.rmtree(root, ignore_errors=True)
     return out
 
 
@@ -513,6 +510,7 @@ def main():
             "cpu_reference_fps": round(cpu_fps, 3),
             "healthy_reference": "28k-101k fps on a healthy tunnel "
                                  "(BASELINE.md, same binary)",
+            **e2e,
         }))
         return
     print(json.dumps({

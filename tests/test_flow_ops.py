@@ -187,13 +187,19 @@ class TestFilters:
 
     def test_static_clip_bound(self):
         """Constant clip bounds derive the sharded-run halo; dynamic
-        expressions must yield no bound."""
+        expressions yield no bound, and any later amplifying filter
+        invalidates it (filters apply in order: clip=4;scale=3 reaches
+        12)."""
         from transflow_tpu.flow.filters import static_clip_bound
         assert static_clip_bound("clip=4") == 4.0
         assert static_clip_bound("scale=2;clip=6.5;clip=3") == 3.0
         assert static_clip_bound("clip=2*t") is None
         assert static_clip_bound("scale=2") is None
         assert static_clip_bound(None) is None
+        assert static_clip_bound("clip=4;scale=3") is None
+        assert static_clip_bound("clip=4;polar=r:a") is None
+        assert static_clip_bound("clip=4;threshold=1") == 4.0
+        assert static_clip_bound("clip=2*t;clip=5") == 5.0
 
 
 class TestMerge:

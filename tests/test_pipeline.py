@@ -266,6 +266,27 @@ class TestBatchedMode:
             fb = cv2.imread(str(b))
             assert np.array_equal(fa, fb), a.name
 
+    def test_batched_time_expression_matches_per_frame(self, assets,
+                                                       tmp_path):
+        """t-dependent filters: chunk timestamps are built on the host
+        with the per-frame path's float64 arithmetic (f32(t0)+f32(k)/fr
+        inside the scan diverged by 1 ULP on ~a quarter of frames —
+        review round 3)."""
+        outs = []
+        for idx, batch in enumerate([1, 4]):
+            out = str(tmp_path / f"te{idx}-%03d.png")
+            cfg = Config(assets["video"], output_path=out, vcodec="mjpeg",
+                         flow_filters="scale=1 + math.sin(40 * t)",
+                         pixmap_sources=[PixmapSourceConfig(assets["image"])],
+                         seed=27, batch_frames=batch)
+            run_pipeline(cfg, replace=True)
+            outs.append(sorted(tmp_path.glob(f"te{idx}-*.png")))
+        assert len(outs[0]) == len(outs[1]) == 11
+        for a, b in zip(*outs):
+            fa = cv2.imread(str(a))
+            fb = cv2.imread(str(b))
+            assert np.array_equal(fa, fb), a.name
+
     def test_auto_batching_is_default_for_mainline(self, assets, tmp_path):
         """Without --batch-frames the mainline video-pixmap config takes
         the chunked path (VERDICT r2: the fast path must be on by

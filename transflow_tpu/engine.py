@@ -237,7 +237,7 @@ class Engine:
         # donation lets XLA update the (H, W) buffers in place
         self._device_step = jax.jit(device_step, donate_argnums=(0,))
 
-        def device_scan(comp_state, prev_gray, prev_flow, key, grays, t0,
+        def device_scan(comp_state, prev_gray, prev_flow, key, grays, ts,
                         const_pixmaps, pix_chunks, frame0, params_list,
                         pp_masks, est_params):
             """lax.scan over a (K, H, W) chunk — single frame-source fast
@@ -252,14 +252,16 @@ class Engine:
             (transflow/pipeline.py:379-438 streams video pixmaps).
 
             The RNG key travels in the scan CARRY and splits once per step
-            exactly like process_frame, so chunked output is bit-equal to
+            exactly like process_frame, and ``ts`` arrives as a host-built
+            (K,) float32 array computed with the per-frame path's exact
+            float64 arithmetic (f32(t0) + f32(k)/fr differs by 1 ULP for
+            ~quarter of frames — enough to flip a .5-rounding pixel under
+            t-dependent expressions), so chunked output is bit-equal to
             the per-frame path including random resets."""
             # NOTE: bound at trace time — chunked mode does not follow live
             # estimator re-tuning (the pipeline gates batching accordingly)
             estimator_step = self.runtimes[0].estimator_step
             k = grays.shape[0]
-            ts = t0 + jnp.arange(k, dtype=jnp.float32) / max(
-                1e-6, self._framerate)
             frame_nos = frame0 + jnp.arange(k, dtype=jnp.int32)
 
             def body(carry, inputs):
@@ -298,7 +300,7 @@ class Engine:
     # ------------------------------------------------------------------
 
     def process_chunk(self, gray_frames: np.ndarray, const_pixmaps,
-                      pix_chunks, t0: float, frame0: int):
+                      pix_chunks, base_frame: int, frame0: int):
         """Process a stacked (K, H, W) chunk through one scanned dispatch.
 
         Only valid for a single frame-yielding flow source (the pipeline
@@ -316,10 +318,14 @@ class Engine:
         # the accumulated mapping is unbounded (parallel/mesh.py)
         pix_chunks = jax.tree.map(
             lambda x: self._put_repl(np.ascontiguousarray(x)), pix_chunks)
+        # float64 on host, cast once: matches the per-frame path's
+        # jnp.float32((base + k) / framerate) to the last bit
+        ts = np.float32((base_frame + np.arange(len(gray_frames)))
+                        / self._framerate)
         (self.comp_state, runtime.prev_gray, runtime.prev_flow, self.key,
          frames, flows) = self._device_scan(
             self.comp_state, runtime.prev_gray, runtime.prev_flow, self.key,
-            grays, jnp.float32(t0), const_pixmaps, pix_chunks,
+            grays, jnp.asarray(ts), const_pixmaps, pix_chunks,
             jnp.int32(frame0), self.layer_params, self._pp_masks,
             runtime.estimator_step.params)
         runtime.last_raw = runtime.prev_flow

@@ -191,7 +191,7 @@ def _load_legacy_format(path: str) -> dict:
     try:
         magic = plain_pickle()
         protocol = plain_pickle()
-        plain_pickle()  # sys_info: {protocol_version, little_endian, ...}
+        sys_info = plain_pickle()  # {protocol_version, little_endian, ...}
     except Exception as exc:
         raise ValueError(
             f"torch_zip: {path!r} is neither a torch zip-format nor a "
@@ -200,6 +200,9 @@ def _load_legacy_format(path: str) -> dict:
         raise ValueError(
             f"torch_zip: {path!r} is not a torch checkpoint (bad legacy "
             "magic/protocol)")
+    if isinstance(sys_info, dict) and not sys_info.get("little_endian", True):
+        raise ValueError(
+            "torch_zip: big-endian legacy checkpoints are not supported")
 
     # Pass 1: walk the state-dict pickle with stub rebuilders to learn each
     # storage's dtype/numel and find where the data section starts.

@@ -27,46 +27,55 @@ class FlowFilter:
                 f"Filter {name} takes {arity} argument(s), got {len(args)}")
         return filter_cls(*args)
 
+    @staticmethod
+    def iter_specs(filters_string: str | None) -> list[tuple[str, tuple]]:
+        """Split 'name=expr;name=expr:expr;...' into (name, args) pairs —
+        the single owner of the filters-string grammar (parse_many and
+        static_clip_bound both build on it)."""
+        if filters_string is None:
+            return []
+        specs = []
+        for part in filters_string.strip().split(";"):
+            if not part.strip():
+                continue
+            eq = part.index("=")
+            specs.append((part[:eq].strip(),
+                          tuple(part[eq + 1:].strip().split(":"))))
+        return specs
+
     @classmethod
     def parse_many(cls, filters_string: str | None) -> list["FlowFilter"]:
         """Parse 'name=expr;name=expr:expr;...' into filter objects.
 
         Parity: transflow/flow/sources/source.py:142-150."""
-        if filters_string is None:
-            return []
-        out = []
-        for part in filters_string.strip().split(";"):
-            if not part.strip():
-                continue
-            eq = part.index("=")
-            name = part[:eq].strip()
-            args = tuple(part[eq + 1:].strip().split(":"))
-            out.append(cls.from_args(name, args))
-        return out
+        return [cls.from_args(name, args)
+                for name, args in cls.iter_specs(filters_string)]
 
 
 def static_clip_bound(filters_string: str | None) -> float | None:
-    """Smallest CONSTANT clip bound among the filters, else None.
+    """Constant displacement bound guaranteed AFTER the whole filter
+    chain, else None.
 
-    Used to auto-derive the movement-gather halo for sharded runs: after a
-    ``clip=K`` filter with a numeric (t-independent) K, per-frame
-    displacements are bounded by K, so a halo of ceil(K) rows makes the
-    bounded gather exact (ops/halo_gather.py). Time-varying expressions
-    give no static bound."""
-    if filters_string is None:
-        return None
-    bounds = []
-    for part in filters_string.strip().split(";"):
-        if not part.strip() or "=" not in part:
-            continue
-        eq = part.index("=")
-        if part[:eq].strip() != "clip":
-            continue
-        try:
-            bounds.append(float(part[eq + 1:].strip()))
-        except ValueError:
-            continue
-    return min(bounds) if bounds else None
+    Used to auto-derive the movement-gather halo for sharded runs: a
+    ``clip=K`` filter with a numeric (t-independent) K bounds per-frame
+    displacements by K — but only if no later filter can re-amplify them
+    (filters apply in string order, so ``clip=4;scale=3`` reaches 12).
+    Therefore the bound holds only when the LAST filter in the chain is
+    the constant clip (threshold after clip also preserves it — it only
+    zeroes vectors). Time-varying expressions give no static bound."""
+    specs = FlowFilter.iter_specs(filters_string)
+    bound = None
+    for name, args in specs:
+        if name == "clip":
+            try:
+                bound = float(args[0])
+            except ValueError:
+                bound = None  # dynamic clip: no static bound
+        elif name == "threshold":
+            continue  # only zeroes vectors: preserves any existing bound
+        else:
+            bound = None  # scale/polar can amplify: bound invalidated
+    return bound
 
 
 class ScaleFilter(FlowFilter):

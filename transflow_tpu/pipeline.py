@@ -392,8 +392,17 @@ class Pipeline:
         multiplies magnitudes) when --halo is not given; without either,
         the movement gather falls back to the all-gather-bound path with a
         warning (parallel/mesh.py has the measurements)."""
+        from .flow.filters import static_clip_bound
         halo = self.config.halo
         if not self.config.mesh:
+            if halo is not None:
+                bound = static_clip_bound(self.config.flow_filters)
+                if bound is None or bound > halo:
+                    logger.warning(
+                        "--halo %d without --mesh clamps every movement to "
+                        "%d rows; pair it with a trailing clip<=%d flow "
+                        "filter (or drop it on single-device runs)",
+                        halo, halo, halo)
             return None, halo
         from .parallel import make_space_mesh, parse_mesh_spec
         stream, space = parse_mesh_spec(self.config.mesh)
@@ -410,17 +419,26 @@ class Pipeline:
                 f"(output {out_h}) must divide by the space axis {space}")
         mesh = make_space_mesh(space)
         if halo is None:
-            from .flow.filters import static_clip_bound
             bound = static_clip_bound(self.config.flow_filters)
-            if bound is not None and self.config.kernel_path is None:
+            # merging can re-amplify per-source bounds: sum of N clipped
+            # flows reaches N*K, product reaches K^2 — only derive when a
+            # single flow source is used or the merge preserves magnitude
+            # bounds (first/average/absmax pick/average, never amplify)
+            merge_ok = (len(self.config.extra_flow_paths) == 0
+                        or self.config.flows_merging_function
+                        in ("first", "average", "absmax"))
+            if (bound is not None and self.config.kernel_path is None
+                    and merge_ok):
                 halo = int(np.ceil(bound * max(1, self.height_factor)))
                 logger.info("mesh: derived halo=%d from the clip filter",
                             halo)
             else:
                 logger.warning(
-                    "--mesh without --halo and no constant clip filter: "
-                    "movement gathers will all-gather the full state every "
-                    "frame; pass --halo K or add a clip=K flow filter")
+                    "--mesh without --halo and no post-chain constant "
+                    "displacement bound (need a trailing clip=K filter, no "
+                    "kernel, and a non-amplifying merge): movement gathers "
+                    "will all-gather the full state every frame; pass "
+                    "--halo K to force the bounded path")
         return mesh, halo
 
     def _prep_pixmap_frame(self, frame: np.ndarray) -> np.ndarray:
@@ -633,6 +651,29 @@ class Pipeline:
         return ({i: np.stack(f[:count]) for i, f in chunks.items()}
                 if count else {}, count)
 
+    def _run_short_chunk(self, grays, chunk_map, timers):
+        """Run an undersized chunk frame-by-frame through the per-frame
+        device program (engine.process_frame), with the scan path's exact
+        RNG/timestamp/frame-number arithmetic. Does not advance
+        self.cursor — the caller accounts the whole chunk."""
+        from .flow.sources.base import FlowItem
+        base = self.ckpt_meta.get("cursor", 0) + self.cursor
+        for k, gray in enumerate(grays):
+            pixmaps = tuple(
+                tuple(self._pix_current[i] if self._pix_constant[i]
+                      else self.engine._put_repl(chunk_map[i][k])
+                      for i in binding)
+                for binding in self._layer_bindings)
+            fno = self.cursor + k
+            frame_numbers = tuple(tuple(fno for _ in binding)
+                                  for binding in self._layer_bindings)
+            with timers.stage("device_step"):
+                frame, flow = self.engine.process_frame(
+                    [FlowItem(FlowItem.FRAME, gray)], pixmaps,
+                    (base + k) / self.fs_framerate, frame_numbers)
+            with timers.stage("drain"):
+                self._drain(frame, flow)
+
     def _mainloop_batched(self, started, total, bar, batch):
         """Chunked fast path: stack K decoded frames, one scanned dispatch."""
         timers = self.timers
@@ -684,30 +725,39 @@ class Pipeline:
                     pending = None
             if not grays:
                 break
-            pix_chunks = tuple(
-                tuple(None if self._pix_constant[i] else chunk_map[i]
-                      for i in binding)
-                for binding in self._layer_bindings)
-            base = self.ckpt_meta.get("cursor", 0) + self.cursor
-            with timers.stage("device_step"):
-                # frame numbers are run-relative like the per-frame path
-                # (_gather_pixmaps); t is absolute like the per-frame path
-                frames, flows = self.engine.process_chunk(
-                    np.stack(grays), const_pixmaps, pix_chunks,
-                    base / self.fs_framerate, self.cursor)
-            with timers.stage("drain"):
-                if self.flow_output is not None:
-                    host_flows = np.asarray(flows)
-                    if self.round_flow:
-                        host_flows = np.round(host_flows).astype(int)
-                    for flow in host_flows:
-                        self.flow_output.write_array(flow)
-                host_frames = np.asarray(frames)
-                for frame in host_frames:
-                    for thread in self.output_threads:
-                        thread.feed(frame)
-                    for window in self.window_outputs:
-                        window.feed(frame)
+            if len(grays) < batch:
+                # short chunk (tail of the video, or a checkpoint-aligned
+                # remainder): run it through the shape-stable per-frame
+                # program instead of compiling a scan for this one-off K
+                # (each distinct chunk shape is a separate multi-minute
+                # remote compile). RNG, timestamps and frame numbers
+                # follow the same arithmetic, so output is unchanged.
+                self._run_short_chunk(grays, chunk_map, timers)
+            else:
+                pix_chunks = tuple(
+                    tuple(None if self._pix_constant[i] else chunk_map[i]
+                          for i in binding)
+                    for binding in self._layer_bindings)
+                base = self.ckpt_meta.get("cursor", 0) + self.cursor
+                with timers.stage("device_step"):
+                    # frame numbers are run-relative like the per-frame
+                    # path (_gather_pixmaps); t is absolute likewise
+                    frames, flows = self.engine.process_chunk(
+                        np.stack(grays), const_pixmaps, pix_chunks,
+                        base, self.cursor)
+                with timers.stage("drain"):
+                    if self.flow_output is not None:
+                        host_flows = np.asarray(flows)
+                        if self.round_flow:
+                            host_flows = np.round(host_flows).astype(int)
+                        for flow in host_flows:
+                            self.flow_output.write_array(flow)
+                    host_frames = np.asarray(frames)
+                    for frame in host_frames:
+                        for thread in self.output_threads:
+                            thread.feed(frame)
+                        for window in self.window_outputs:
+                            window.feed(frame)
             previous_cursor = self.cursor
             self.cursor += len(grays)
             if bar is not None:
