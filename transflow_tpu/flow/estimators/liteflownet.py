@@ -72,37 +72,64 @@ def backwarp(image, flow):
 
     Parity: liteflownet.py:398-412 (grid_sample). ``flow`` is in pixels.
 
-    PERFORMANCE (measured on v5e, 544x960x64): ~30 ms per call — the
-    network's dominant cost (~90 of 186 ms/frame at 1088p comes from the
-    backwarps). The 4-tap gather runs ~45x below HBM bandwidth because XLA
-    lowers arbitrary 2-D gathers to a serial slice loop on TPU; measured
-    alternatives (flattened single-index take: ~same; 2x2-patch lax.gather:
-    36x WORSE; bf16 operand: worse) don't help, and Mosaic/Pallas exposes
-    only dynamic slices, not per-element gathers, so a custom kernel can't
-    express it either. A displacement-bounded decomposition (like
-    ops/halo_gather.py) would need a (2K+1)^2 select loop for the 2-D case
-    — worse than the gather for realistic K. Known-open optimization."""
+    TAP-BATCHED formulation: the four bilinear taps are pre-assembled
+    into one (H, W, 4C) tensor via three cheap shifts, then fetched with
+    ONE gather instead of four. XLA's TPU gather is byte-throughput-bound
+    at ~10 GB/s (measured: slice size barely changes it — the serial
+    slice loop, not DMA width, is the wall), but a single 4C-slice gather
+    still beats four C-slice gathers by ~1.25x in f32 and ~1.45x with the
+    net's bf16 compute dtype (v5e, 544x960x64: 4-tap 60 ms -> 42 ms
+    median in the same regime). Full-network effect at 1088p: 186 ->
+    148.6 ms/frame median (chained dispatches + value readback; the 186
+    was taken in a healthier tunnel regime, so the true gain is larger
+    than the 1.25x these two numbers suggest). Alternatives measured and rejected:
+    flattened single-index take (~same), 2x2-patch lax.gather (36x
+    WORSE), W-axis take_along_axis row-shift decomposition (2K+1 gathers,
+    strictly worse since every gather axis hits the same wall), complex64
+    channel-packing (unimplemented on the TPU backend), and Mosaic/Pallas
+    (no per-element gather primitive). Remaining known-open: a bounded
+    (2K+1)^2 in-VMEM select kernel — only wins if K stays small, which
+    level-2 flows do not guarantee.
+
+    Edge semantics: the gather is anchored at the clamped (y0, x0) base,
+    so on the LOW edges the +1 taps fall back to the base slot (the
+    reference clamps each tap independently); in-bounds masks use the raw
+    float floors so deep out-of-bounds rows stay zero-weighted."""
     h, w = image.shape[-3], image.shape[-2]
+    c = image.shape[-1]
+    zrow = jnp.zeros((1, w, c), image.dtype)
+    zcol = jnp.zeros((h, 1, c), image.dtype)
+    right = jnp.concatenate([image[:, 1:], zcol], axis=1)
+    down = jnp.concatenate([image[1:], zrow], axis=0)
+    downright = jnp.concatenate([right[1:], zrow], axis=0)
+    v4 = jnp.concatenate([image, right, down, downright], axis=-1)
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     sx = xx + flow[..., 0]
     sy = yy + flow[..., 1]
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    wx = sx - x0
-    wy = sy - y0
-    out = 0.0
-    for dy, wy_k in ((0, 1 - wy), (1, wy)):
-        for dx, wx_k in ((0, 1 - wx), (1, wx)):
-            xi = x0 + dx
-            yi = y0 + dy
-            inb = ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1))
-            xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-            yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-            tap = image[yi_c, xi_c]
-            weight = (wy_k * wx_k * inb.astype(jnp.float32))[..., None]
-            out = out + tap * weight
-    return out
+    x0f = jnp.floor(sx)
+    y0f = jnp.floor(sy)
+    wx = (sx - x0f)[..., None]
+    wy = (sy - y0f)[..., None]
+    x0 = jnp.clip(x0f, -1, w).astype(jnp.int32)
+    y0 = jnp.clip(y0f, -1, h).astype(jnp.int32)
+    g = v4[jnp.clip(y0, 0, h - 1), jnp.clip(x0, 0, w - 1)]
+    t00, t01, t10, t11 = jnp.split(g, 4, axis=-1)
+    mx = (x0 < 0)[..., None]
+    my = (y0 < 0)[..., None]
+    t01e = jnp.where(mx, t00, t01)
+    t10e = jnp.where(my, t00, t10)
+    t11e = jnp.where(mx & my, t00,
+                     jnp.where(mx, t10, jnp.where(my, t01, t11)))
+
+    def inb(xi, yi):
+        return (((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1))
+                .astype(jnp.float32)[..., None])
+
+    return (t00 * (1 - wx) * (1 - wy) * inb(x0f, y0f)
+            + t01e * wx * (1 - wy) * inb(x0f + 1, y0f)
+            + t10e * (1 - wx) * wy * inb(x0f, y0f + 1)
+            + t11e * wx * wy * inb(x0f + 1, y0f + 1))
 
 
 def _bilinear_deconv_init(key, shape, dtype=jnp.float32):
