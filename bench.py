@@ -116,7 +116,9 @@ def _wait_for_healthy_tunnel(max_wait_s: float = 600.0) -> float:
         float(jnp.sum(jnp.ones((128, 128))
                       * np.float32(time.perf_counter() % 997.0)))
         rtt = time.perf_counter() - start
-        if rtt < 2.0 or time.monotonic() > deadline:
+        # healthy tunnel: ~0.04 s; the quantized sick regime idles small
+        # probes at ~1.2 s and previously slipped under a 2 s bar
+        if rtt < 0.25 or time.monotonic() > deadline:
             return rtt
         time.sleep(min(30.0, max(5.0, rtt)))
 
@@ -178,7 +180,10 @@ def bench_tpu(watchdog=None) -> dict:
         int(np.asarray(rg[-1, 0, 0, 0]))
         holder["state"] = st
         chunk_rtt = time.perf_counter() - start
-        if chunk_rtt < 10.0 or time.monotonic() > gate_deadline:
+        # a healthy 16-frame chunk reads back in well under a second; the
+        # quantized regime once completed one in 9.3 s and slipped under a
+        # 10 s bar — demand < 2 s before measuring
+        if chunk_rtt < 2.0 or time.monotonic() > gate_deadline:
             break
         time.sleep(30.0)
     progress("fused-sample")
@@ -292,19 +297,35 @@ def bench_tpu(watchdog=None) -> dict:
     # the framework (BASELINE.md documents the quantized-cycle signature);
     # the record must SAY so instead of printing a plausible-looking fps.
     unhealthy_reasons = []
-    if tunnel_rtt >= 2.0:
+    if tunnel_rtt >= 0.25:
+        # healthy small-probe readbacks measure 0.03-0.04 s through this
+        # tunnel (sub-ms on direct-attached chips); the round-2 quantized
+        # regime measured 1.2 s and still completed chunks "fast enough"
+        # to sneak under a lenient gate — treat anything slower than
+        # 250 ms as a sick regime
         unhealthy_reasons.append(
-            f"small-probe readback RTT {tunnel_rtt:.1f}s (healthy: "
-            "sub-millisecond) after the full grace period")
+            f"small-probe readback RTT {tunnel_rtt:.2f}s (healthy tunnel: "
+            "~0.04s) after the full grace period")
     if chunk_rtt >= 10.0:
         unhealthy_reasons.append(
             f"one {CHUNK}-frame chunk took {chunk_rtt:.0f}s to read back "
             "(the ~5-min poll-cycle failure signature) after the gate's "
             "grace period")
-    # physical consistency: the fused scan amortizes dispatch and keeps
-    # state in VMEM, so fused ms/frame must not exceed the SUM of the
-    # stages measured standalone by more than noise — when it does, the
-    # sample timings are infrastructure-quantized, not device compute
+    # PHYSICAL FLOOR: one frame of this program moves >= 8.3 MB of frame
+    # IO through HBM; even at 1% of the chip's ~819 GB/s that is > 120
+    # fps, and the measured healthy range is 28k-101k. A reading under
+    # 100 fps therefore cannot be device compute — it is the
+    # infrastructure (the quantized regime measured EXACTLY this program
+    # at 1.73 fps / 579.0 ms with zero IQR, stages riding the same cycle
+    # so consistency ratios stay plausible — BENCH_r03 near-miss)
+    if fps < 100.0:
+        unhealthy_reasons.append(
+            f"{fps:.2f} fps is below the program's physical floor "
+            "(frame IO alone at 1% of HBM bandwidth exceeds 120 fps) — "
+            "completions are infrastructure-quantized")
+    # consistency: the fused scan amortizes dispatch and keeps state in
+    # VMEM, so fused ms/frame must not exceed the SUM of the stages
+    # measured standalone by more than noise
     if ms_per_frame > 2.0 * (est_ms + comp_ms) and ms_per_frame > 1.0:
         unhealthy_reasons.append(
             f"fused {ms_per_frame:.1f} ms/frame exceeds 2x the stage sum "
