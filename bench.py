@@ -123,6 +123,51 @@ def _wait_for_healthy_tunnel(max_wait_s: float = 600.0) -> float:
         time.sleep(min(30.0, max(5.0, rtt)))
 
 
+def health_verdict(tunnel_rtt, chunk_rtt, fps, ms_per_frame, est_ms,
+                   comp_ms) -> list:
+    """Regime health: the list of reasons this measurement is the
+    infrastructure rather than the framework (empty = healthy record).
+
+    A number taken in a sick tunnel regime must SAY so instead of
+    printing a plausible-looking fps (BASELINE.md documents the quantized
+    signature). Calibration history: the round-2 quantized regime
+    (1.73 fps / 579.0 ms, zero IQR) slipped under a first-cut gate set —
+    probe RTT 1.2 s under a 2 s bar, a 9.3 s chunk under a 10 s bar, and
+    stage timings riding the same cycle so consistency ratios stayed
+    plausible — hence the physical floor below (unit-tested with that
+    exact signature)."""
+    reasons = []
+    if tunnel_rtt >= 0.25:
+        # healthy small-probe readbacks measure 0.03-0.04 s through this
+        # tunnel (sub-ms on direct-attached chips)
+        reasons.append(
+            f"small-probe readback RTT {tunnel_rtt:.2f}s (healthy tunnel: "
+            "~0.04s) after the full grace period")
+    if chunk_rtt >= 10.0:
+        reasons.append(
+            f"one {CHUNK}-frame chunk took {chunk_rtt:.0f}s to read back "
+            "(the ~5-min poll-cycle failure signature) after the gate's "
+            "grace period")
+    # PHYSICAL FLOOR: one frame of this program moves >= 8.3 MB of frame
+    # IO through HBM; even at 1% of the chip's ~819 GB/s that is > 120
+    # fps, and the measured healthy range is 28k-101k fps. A reading
+    # under 100 fps therefore cannot be device compute.
+    if fps < 100.0:
+        reasons.append(
+            f"{fps:.2f} fps is below the program's physical floor "
+            "(frame IO alone at 1% of HBM bandwidth exceeds 120 fps) — "
+            "completions are infrastructure-quantized")
+    # consistency: the fused scan amortizes dispatch and keeps state in
+    # VMEM, so fused ms/frame must not exceed the SUM of the stages
+    # measured standalone by more than noise
+    if ms_per_frame > 2.0 * (est_ms + comp_ms) and ms_per_frame > 1.0:
+        reasons.append(
+            f"fused {ms_per_frame:.1f} ms/frame exceeds 2x the stage sum "
+            f"({est_ms:.1f} + {comp_ms:.1f} ms) — timings are "
+            "infrastructure-bound, not compute-bound")
+    return reasons
+
+
 def bench_tpu(watchdog=None) -> dict:
     import jax
     import jax.numpy as jnp
@@ -292,45 +337,8 @@ def bench_tpu(watchdog=None) -> dict:
 
     comp_ms = 1000.0 * _steady_state(comp_region, repeats=3) / CHUNKS_PER_SAMPLE
 
-    # ---- regime health verdict --------------------------------------
-    # A number taken in a sick tunnel regime is the infrastructure, not
-    # the framework (BASELINE.md documents the quantized-cycle signature);
-    # the record must SAY so instead of printing a plausible-looking fps.
-    unhealthy_reasons = []
-    if tunnel_rtt >= 0.25:
-        # healthy small-probe readbacks measure 0.03-0.04 s through this
-        # tunnel (sub-ms on direct-attached chips); the round-2 quantized
-        # regime measured 1.2 s and still completed chunks "fast enough"
-        # to sneak under a lenient gate — treat anything slower than
-        # 250 ms as a sick regime
-        unhealthy_reasons.append(
-            f"small-probe readback RTT {tunnel_rtt:.2f}s (healthy tunnel: "
-            "~0.04s) after the full grace period")
-    if chunk_rtt >= 10.0:
-        unhealthy_reasons.append(
-            f"one {CHUNK}-frame chunk took {chunk_rtt:.0f}s to read back "
-            "(the ~5-min poll-cycle failure signature) after the gate's "
-            "grace period")
-    # PHYSICAL FLOOR: one frame of this program moves >= 8.3 MB of frame
-    # IO through HBM; even at 1% of the chip's ~819 GB/s that is > 120
-    # fps, and the measured healthy range is 28k-101k. A reading under
-    # 100 fps therefore cannot be device compute — it is the
-    # infrastructure (the quantized regime measured EXACTLY this program
-    # at 1.73 fps / 579.0 ms with zero IQR, stages riding the same cycle
-    # so consistency ratios stay plausible — BENCH_r03 near-miss)
-    if fps < 100.0:
-        unhealthy_reasons.append(
-            f"{fps:.2f} fps is below the program's physical floor "
-            "(frame IO alone at 1% of HBM bandwidth exceeds 120 fps) — "
-            "completions are infrastructure-quantized")
-    # consistency: the fused scan amortizes dispatch and keeps state in
-    # VMEM, so fused ms/frame must not exceed the SUM of the stages
-    # measured standalone by more than noise
-    if ms_per_frame > 2.0 * (est_ms + comp_ms) and ms_per_frame > 1.0:
-        unhealthy_reasons.append(
-            f"fused {ms_per_frame:.1f} ms/frame exceeds 2x the stage sum "
-            f"({est_ms:.1f} + {comp_ms:.1f} ms) — timings are "
-            "infrastructure-bound, not compute-bound")
+    unhealthy_reasons = health_verdict(tunnel_rtt, chunk_rtt, fps,
+                                       ms_per_frame, est_ms, comp_ms)
 
     return {
         "fps": fps,

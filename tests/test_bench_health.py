@@ -1,0 +1,44 @@
+"""bench.py regime-health verdict: the observed sick signatures must be
+flagged and healthy readings must pass. bench.py imports jax/transflow at
+module level (compile-cache setup only) — safe under the CPU conftest."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import health_verdict  # noqa: E402
+
+
+def test_round2_quantized_signature_flagged():
+    """The exact BENCH near-miss: 1.73 fps / 579.0 ms with stage timings
+    riding the same cycle (estimator 460 ms, compositor 122 ms), probe
+    RTT 1.2 s, chunk gate 9.3 s — previously passed every gate."""
+    reasons = health_verdict(tunnel_rtt=1.223, chunk_rtt=9.298, fps=1.73,
+                             ms_per_frame=578.97, est_ms=459.96,
+                             comp_ms=121.88)
+    assert reasons, "quantized sick regime must be flagged"
+    assert any("physical floor" in r for r in reasons)
+    assert any("RTT" in r for r in reasons)
+
+
+def test_dead_tunnel_flagged():
+    reasons = health_verdict(tunnel_rtt=120.0, chunk_rtt=300.0, fps=0.45,
+                             ms_per_frame=2218.7, est_ms=459.8,
+                             comp_ms=121.2)
+    assert len(reasons) >= 3
+
+
+def test_healthy_regime_passes():
+    """A round-2 healthy reading: 28k fps, sub-50ms probe, fused beats
+    the stage sum."""
+    reasons = health_verdict(tunnel_rtt=0.04, chunk_rtt=0.3, fps=28000.0,
+                             ms_per_frame=0.036, est_ms=0.02,
+                             comp_ms=0.02)
+    assert reasons == []
+
+
+def test_fused_slower_than_stages_flagged():
+    """Plausible fps but fused >> stage sum: quantized completions."""
+    reasons = health_verdict(tunnel_rtt=0.04, chunk_rtt=0.5, fps=200.0,
+                             ms_per_frame=5.0, est_ms=0.5, comp_ms=0.5)
+    assert any("stage sum" in r for r in reasons)
