@@ -1,0 +1,118 @@
+"""Bounded-displacement Pallas backwarp vs the exact gather path.
+
+The kernel (ops/pallas_warp.py) replaces XLA's byte-throughput-bound TPU
+gather with in-VMEM shifted selects when the displacement is bounded by K.
+Contract under test:
+
+  * |floor(displacement)| <= K per axis  ->  exact vs backwarp() up to the
+    kernel's bf16 tap staging;
+  * beyond K  ->  the floor clamps to [-K, K] while the bilinear fraction
+    is kept (same contract as ops/halo_gather.py);
+  * out-of-frame taps are zero-weighted ('zeros' padding), matching
+    grid_sample per tests/test_liteflownet_parity.py.
+
+Runs in interpret mode on the CPU test backend (conftest.py).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from transflow_tpu.flow.estimators.liteflownet import backwarp, _warp_bound
+from transflow_tpu.ops.pallas_warp import bounded_backwarp
+
+
+def _rand(shape, seed, scale=1.0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray((scale * rng.normal(size=shape)).astype(np.float32))
+
+
+def _clamped_reference(image, flow, bound):
+    """Exact backwarp after clamping flow floors into [-bound, bound]."""
+    floor = jnp.floor(flow)
+    frac = flow - floor
+    return backwarp(image, jnp.clip(floor, -bound, bound) + frac)
+
+
+class TestBoundedBackwarp:
+
+    @pytest.mark.parametrize("bound", [3, 8])
+    @pytest.mark.parametrize("shape", [(24, 40, 16), (37, 130, 24)])
+    def test_exact_within_bound(self, bound, shape):
+        image = _rand(shape, seed=bound)
+        # uniform in (-bound, bound): floors stay in [-bound, bound-1]
+        rng = np.random.default_rng(bound + 100)
+        flow = jnp.asarray(
+            (bound * (2 * rng.random(shape[:2] + (2,)) - 1))
+            .astype(np.float32))
+        want = backwarp(image, flow)
+        got = bounded_backwarp(image, flow, bound, interpret=True)
+        # the kernel stages the image in bf16 (taps only; weights and
+        # accumulation are f32): tolerance is bf16 quantization of ~N(0,1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-2)
+
+    def test_integer_flow_is_bitexact_in_bf16_range(self):
+        """Integer displacements hit single taps: no bilinear mixing, so
+        bf16-representable inputs round-trip exactly."""
+        image = jnp.asarray(
+            np.random.default_rng(0)
+            .integers(-64, 64, size=(16, 32, 16)).astype(np.float32))
+        flow = jnp.asarray(np.random.default_rng(1)
+                           .integers(-3, 4, size=(16, 32, 2))
+                           .astype(np.float32))
+        want = backwarp(image, flow)
+        got = bounded_backwarp(image, flow, 4, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_out_of_frame_taps_read_zero(self):
+        """A uniform shift off the frame edge must zero the vacated band,
+        exactly like grid_sample 'zeros' padding."""
+        image = jnp.ones((16, 32, 16), jnp.float32)
+        flow = jnp.full((16, 32, 2), -2.5, jnp.float32)
+        want = backwarp(image, flow)
+        got = bounded_backwarp(image, flow, 4, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-2)
+        # sanity on the semantics themselves: rows/cols whose source is
+        # fully out of frame are zero
+        assert np.all(np.asarray(got)[:, :1] == 0)
+
+    def test_beyond_bound_clamps_floor_keeps_fraction(self):
+        bound = 3
+        image = _rand((24, 48, 16), seed=7)
+        rng = np.random.default_rng(8)
+        flow = jnp.asarray(
+            (12 * rng.standard_normal((24, 48, 2))).astype(np.float32))
+        want = _clamped_reference(image, flow, bound)
+        got = bounded_backwarp(image, flow, bound, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-2)
+
+    def test_backwarp_routes_on_bound(self):
+        """backwarp(bound=K) must route to the kernel (clamping proves it
+        took the bounded path), and bound=None must stay exact."""
+        image = _rand((16, 32, 16), seed=3)
+        flow = jnp.full((16, 32, 2), 9.25, jnp.float32)
+        via_api = backwarp(image, flow, bound=2)
+        direct = bounded_backwarp(image, flow, 2, interpret=True)
+        np.testing.assert_array_equal(np.asarray(via_api),
+                                      np.asarray(direct))
+        exact = backwarp(image, flow, bound=None)
+        assert not np.allclose(np.asarray(via_api), np.asarray(exact))
+
+
+class TestWarpBoundEnv:
+
+    def test_unset_means_exact(self, monkeypatch):
+        monkeypatch.delenv("TRANSFLOW_LITEFLOWNET_WARP_BOUND",
+                           raising=False)
+        assert _warp_bound(2) is None
+        assert _warp_bound(6) is None
+
+    def test_levels_halve_with_floor(self, monkeypatch):
+        monkeypatch.setenv("TRANSFLOW_LITEFLOWNET_WARP_BOUND", "16")
+        assert _warp_bound(2) == 16
+        assert _warp_bound(3) == 8
+        assert _warp_bound(4) == 4
+        assert _warp_bound(5) == 3   # floored at 3
+        assert _warp_bound(6) == 3

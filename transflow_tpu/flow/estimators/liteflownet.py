@@ -67,7 +67,19 @@ def _conv(features, kernel, stride=1, pad=None, name=None):
                    name=name, dtype=_compute_dtype(), param_dtype=jnp.float32)
 
 
-def backwarp(image, flow):
+def _warp_bound(level: int) -> int | None:
+    """Per-level displacement bound for the opt-in Pallas warp kernel.
+
+    TRANSFLOW_LITEFLOWNET_WARP_BOUND=K sets the level-2 bound; coarser
+    levels halve it (motion magnitude in level pixels halves per level),
+    floored at 3. Unset (default): the exact gather path."""
+    value = os.environ.get("TRANSFLOW_LITEFLOWNET_WARP_BOUND")
+    if not value:
+        return None
+    return max(3, int(value) >> (level - 2))
+
+
+def backwarp(image, flow, bound: int | None = None):
     """Bilinear warp with zero padding, align_corners semantics.
 
     Parity: liteflownet.py:398-412 (grid_sample). ``flow`` is in pixels.
@@ -94,7 +106,18 @@ def backwarp(image, flow):
     Edge semantics: the gather is anchored at the clamped (y0, x0) base,
     so on the LOW edges the +1 taps fall back to the base slot (the
     reference clamps each tap independently); in-bounds masks use the raw
-    float floors so deep out-of-bounds rows stay zero-weighted."""
+    float floors so deep out-of-bounds rows stay zero-weighted.
+
+    ``bound``: opt-in bounded-displacement mode — route through the
+    Pallas in-VMEM select kernel (ops/pallas_warp.py), which sidesteps
+    the gather wall entirely but CLAMPS displacements beyond ``bound``
+    pixels per axis. Enabled per level via
+    TRANSFLOW_LITEFLOWNET_WARP_BOUND (see _warp_bound); default None =
+    exact."""
+    if bound is not None and image.shape[-1] >= 16:
+        from ...ops.pallas_warp import bounded_backwarp
+        return bounded_backwarp(image, flow, int(bound),
+                                interpret=jax.default_backend() == "cpu")
     h, w = image.shape[-3], image.shape[-2]
     c = image.shape[-1]
     zrow = jnp.zeros((1, w, c), image.dtype)
@@ -196,7 +219,8 @@ class Matching(nn.Module):
             up_kernel = self.param(
                 "upflow_kernel", _bilinear_deconv_init, (4, 4, 2))
             flow = _upsample2x_groupdeconv(flow, up_kernel)
-            feat2 = backwarp(feat2, flow * _FLT_BACKWARP[lvl])
+            feat2 = backwarp(feat2, flow * _FLT_BACKWARP[lvl],
+                             bound=_warp_bound(lvl))
         if lvl >= 4:
             corr = _leaky(correlation7x7(feat1, feat2, stride=1))
         else:
@@ -222,7 +246,8 @@ class Subpixel(nn.Module):
             feat_conv = _conv(64, 1, pad=0, name="feat0")  # shared weights
             feat1 = _leaky(feat_conv(feat1))
             feat2 = _leaky(feat_conv(feat2))
-        warped = backwarp(feat2, flow * _FLT_BACKWARP[lvl])
+        warped = backwarp(feat2, flow * _FLT_BACKWARP[lvl],
+                          bound=_warp_bound(lvl))
         x = jnp.concatenate([feat1, warped, flow], axis=-1)
         x = _leaky(_conv(128, 3, name="main0")(x))
         x = _leaky(_conv(64, 3, name="main1")(x))

@@ -1,0 +1,152 @@
+"""Pallas TPU kernel: bounded-displacement bilinear backwarp.
+
+XLA's TPU gather is byte-throughput-bound at ~10 GB/s regardless of axis
+or slice size (measured — flow/estimators/liteflownet.py::backwarp), which
+caps the CNN's dominant op far below HBM bandwidth. When the per-pixel
+displacement is BOUNDED by K, the gather decomposes into on-chip selects:
+
+  1. load one haloed row band of the image into VMEM (Element-indexed
+     overlapping blocks, same pattern as ops/pallas_correlation.py);
+  2. for each (dy, dx) in the (2K+2)^2 displacement window, slice the
+     band (a VMEM dynamic slice — no HBM traffic) and accumulate it
+     under the bilinear-tap weight that matches that offset;
+  3. skip offsets no pixel in the block uses (@pl.when on the weight
+     max) — real flow fields are smooth, so a block's displacement range
+     is usually tiny and the loop degenerates to a handful of passes.
+
+HBM traffic: one read of the image band (plus halo re-reads, factor
+(R+2K+2)/R) and one write of the output — the speed-of-light for this op
+— instead of 4 serialized gather taps at 10 GB/s.
+
+SEMANTICS: exact vs the reference grid_sample (zeros padding,
+align_corners) whenever |floor(displacement)| <= K-? (strictly: floor in
+[-K, K] per axis); beyond that the displacement CLAMPS to the window
+(same contract as ops/halo_gather.py). Callers must pick K >= the flow's
+real bound for exactness — the LiteFlowNet integration keeps the exact
+gather as the default and enables this kernel only via an explicit
+bound (TRANSFLOW_LITEFLOWNET_WARP_BOUND).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+try:  # Element-indexed block dims (halo reads); private path in jax 0.9
+    from jax.experimental.pallas import Element
+except ImportError:  # pragma: no cover
+    from jax._src.pallas.core import Element
+
+__all__ = ["bounded_backwarp"]
+
+
+def _make_kernel(bound: int, rows: int, cols: int):
+    pad = bound + 1
+    n = 2 * bound + 2
+
+    def kernel(y0_ref, x0_ref, wy_ref, wx_ref, band_ref, out_ref):
+        y0 = y0_ref[...]
+        x0 = x0_ref[...]
+        wy = wy_ref[...]
+        wx = wx_ref[...]
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+        # dy runs in a fori_loop (dynamic offsets are legal on the major
+        # dim); dx unrolls statically — Mosaic cannot dynamically slice
+        # the sublane axis at non-8-multiple offsets, but static shifts
+        # lower fine. @pl.when skips row offsets no pixel in the block
+        # uses (smooth flow => a handful of live dy values per block).
+        def body(dyi, carry):
+            dy = dyi - bound
+            wy_t = jnp.where(y0 == dy, 1.0 - wy,
+                             jnp.where(y0 == dy - 1, wy, 0.0))
+
+            @pl.when(jnp.max(wy_t) > 0.0)
+            def _():
+                row_band = band_ref[pl.ds(pad + dy, rows), :, :]
+                for dxi in range(n):
+                    dx = dxi - bound
+                    wx_t = jnp.where(x0 == dx, 1.0 - wx,
+                                     jnp.where(x0 == dx - 1, wx, 0.0))
+                    weight = wy_t * wx_t
+                    sub = row_band[:, pad + dx:pad + dx + cols, :]
+                    out_ref[...] += (sub.astype(jnp.float32)
+                                     * weight[..., None])
+
+            return carry
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("bound", "block_rows",
+                                             "interpret"))
+def bounded_backwarp(image, flow, bound: int, block_rows: int | None = None,
+                     interpret: bool = False):
+    """Bilinear warp ``image[(i, j) + flow]`` with displacement clamped to
+    ``bound`` pixels per axis. image: (H, W, C); flow: (H, W, 2) in
+    pixels (x, y) like the reference; returns float32 (H, W, C).
+
+    The band is staged in bf16 regardless of input dtype (the CNN's
+    compute dtype anyway): Mosaic requires the 2-D blocks' rows divisible
+    by 8, and an 8-row f32 band blows the ~16 MB scoped-vmem budget once
+    double-buffered — bf16 taps are consistent with this mode's
+    approximation contract (weights and accumulation stay f32)."""
+    h, w, c = image.shape
+    image = image.astype(jnp.bfloat16)
+    if block_rows is None:
+        block_rows = 8
+    pad = bound + 1
+    fy = flow[..., 1].astype(jnp.float32)
+    fx = flow[..., 0].astype(jnp.float32)
+    y0f = jnp.floor(fy)
+    x0f = jnp.floor(fx)
+    wy = fy - y0f
+    wx = fx - x0f
+    y0 = jnp.clip(y0f, -bound, bound).astype(jnp.int32)
+    x0 = jnp.clip(x0f, -bound, bound).astype(jnp.int32)
+
+    nb = -(-h // block_rows)
+    hp = nb * block_rows
+    wp = -(-w // 128) * 128  # lane-friendly minor-dim for the 2-D blocks
+
+    def pad2(a, fill=0):
+        return jnp.pad(a, ((0, hp - h), (0, wp - w)),
+                       constant_values=fill)
+
+    # zero-pad the image so out-of-frame taps read zeros (grid_sample
+    # 'zeros' padding); the halo keeps every in-window slice in range
+    img = jnp.pad(image, ((pad, pad + hp - h), (pad, pad + wp - w),
+                          (0, 0)))
+
+    out = pl.pallas_call(
+        _make_kernel(bound, block_rows, wp),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block_rows, wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (Element(block_rows + 2 * pad), Element(wp + 2 * pad),
+                 Element(c)),
+                lambda i: (i * block_rows, 0, 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, wp, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wp, c), jnp.float32),
+        # the 64-channel lane dim pads to 128 on-chip, doubling the
+        # double-buffered band + f32 out blocks past the default 16 MB
+        # scoped-vmem budget — raise it (v5e has 128 MB VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(pad2(y0, bound + 7), pad2(x0, bound + 7), pad2(wy), pad2(wx), img)
+    return out[:h, :w]
