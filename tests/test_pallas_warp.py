@@ -116,3 +116,44 @@ class TestWarpBoundEnv:
         assert _warp_bound(4) == 4
         assert _warp_bound(5) == 3   # floored at 3
         assert _warp_bound(6) == 3
+
+    def test_explicit_base_beats_env(self, monkeypatch):
+        monkeypatch.setenv("TRANSFLOW_LITEFLOWNET_WARP_BOUND", "16")
+        assert _warp_bound(2, 8) == 8
+        assert _warp_bound(2, 0) is None  # 0 = explicitly exact
+
+
+class TestConfigSurface:
+    """lfn_warp_bound travels config -> estimator_kwargs -> the net."""
+
+    def test_cv_config_round_trip(self, tmp_path):
+        from transflow_tpu.flow.sources.cv import CvFlowConfig
+        cfg = CvFlowConfig(method="liteflownet", lfn_warp_bound=12)
+        path = tmp_path / "cv.json"
+        cfg.to_file(str(path))
+        back = CvFlowConfig.from_file(str(path))
+        assert back.lfn_warp_bound == 12
+        assert back.estimator_kwargs() == {"warp_bound": 12}
+        assert CvFlowConfig(method="liteflownet").estimator_kwargs() == {}
+
+    def test_estimator_entry_routes_kwarg(self, monkeypatch):
+        """liteflownet(warp_bound=K) must reach the Pallas kernel."""
+        import transflow_tpu.ops.pallas_warp as pw
+        from transflow_tpu.flow.estimators import liteflownet as lfn
+        calls = []
+        orig = pw.bounded_backwarp
+
+        def counting(image, flow, bound, **kw):
+            calls.append(bound)
+            return orig(image, flow, bound, **kw)
+
+        monkeypatch.setattr(pw, "bounded_backwarp", counting)
+        monkeypatch.delenv("TRANSFLOW_LITEFLOWNET_WARP_BOUND",
+                           raising=False)
+        img = np.zeros((64, 96), np.uint8)
+        lfn.liteflownet(img, img, allow_random=True, warp_bound=16)
+        assert calls and max(calls) == 16   # level 2 got the base bound
+        assert min(calls) == 3              # coarsest levels floored
+        calls.clear()
+        lfn.liteflownet(img, img, allow_random=True)
+        assert calls == []                  # default stays exact

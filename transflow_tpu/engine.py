@@ -113,7 +113,8 @@ def make_estimator_step(method: str, estimator_kwargs: dict,
         if method in ("farneback", "horn-schunck"):
             return estimator(left, right, prev_flow, **estimator_kwargs)
         if method == "liteflownet":
-            return estimator(left, right, params=params)
+            return estimator(left, right, params=params,
+                             **estimator_kwargs)
         return estimator(left, right, **estimator_kwargs)
 
     jitted = jax.jit(fn)

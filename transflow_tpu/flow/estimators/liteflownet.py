@@ -15,6 +15,7 @@ correlation is a raw CUDA kernel (:48-116). Here:
   weights the estimator raises, or runs randomly initialized when
   ``allow_random`` is set (shape/integration tests).
 """
+import functools
 import os
 
 import jax
@@ -67,16 +68,20 @@ def _conv(features, kernel, stride=1, pad=None, name=None):
                    name=name, dtype=_compute_dtype(), param_dtype=jnp.float32)
 
 
-def _warp_bound(level: int) -> int | None:
+def _warp_bound(level: int, base: int | None = None) -> int | None:
     """Per-level displacement bound for the opt-in Pallas warp kernel.
 
-    TRANSFLOW_LITEFLOWNET_WARP_BOUND=K sets the level-2 bound; coarser
-    levels halve it (motion magnitude in level pixels halves per level),
-    floored at 3. Unset (default): the exact gather path."""
-    value = os.environ.get("TRANSFLOW_LITEFLOWNET_WARP_BOUND")
-    if not value:
+    ``base`` is the level-2 bound; coarser levels halve it (motion
+    magnitude in level pixels halves per level), floored at 3. ``base``
+    None falls back to TRANSFLOW_LITEFLOWNET_WARP_BOUND; 0 (or an unset
+    env) means OFF: the exact gather path. The config surface is
+    ``lfn_warp_bound`` (flow/sources/cv.py CvFlowConfig)."""
+    if base is None:
+        value = os.environ.get("TRANSFLOW_LITEFLOWNET_WARP_BOUND")
+        base = int(value) if value else 0
+    if not base:
         return None
-    return max(3, int(value) >> (level - 2))
+    return max(3, int(base) >> (level - 2))
 
 
 def backwarp(image, flow, bound: int | None = None):
@@ -207,6 +212,7 @@ class Features(nn.Module):
 class Matching(nn.Module):
     """Cost-volume matching head. Parity: liteflownet.py:463-503."""
     level: int
+    warp_bound: int | None = None
 
     @nn.compact
     def __call__(self, feat1, feat2, flow):
@@ -220,7 +226,7 @@ class Matching(nn.Module):
                 "upflow_kernel", _bilinear_deconv_init, (4, 4, 2))
             flow = _upsample2x_groupdeconv(flow, up_kernel)
             feat2 = backwarp(feat2, flow * _FLT_BACKWARP[lvl],
-                             bound=_warp_bound(lvl))
+                             bound=_warp_bound(lvl, self.warp_bound))
         if lvl >= 4:
             corr = _leaky(correlation7x7(feat1, feat2, stride=1))
         else:
@@ -238,6 +244,7 @@ class Matching(nn.Module):
 class Subpixel(nn.Module):
     """Sub-pixel refinement head. Parity: liteflownet.py:505-531."""
     level: int
+    warp_bound: int | None = None
 
     @nn.compact
     def __call__(self, feat1, feat2, flow):
@@ -247,7 +254,7 @@ class Subpixel(nn.Module):
             feat1 = _leaky(feat_conv(feat1))
             feat2 = _leaky(feat_conv(feat2))
         warped = backwarp(feat2, flow * _FLT_BACKWARP[lvl],
-                          bound=_warp_bound(lvl))
+                          bound=_warp_bound(lvl, self.warp_bound))
         x = jnp.concatenate([feat1, warped, flow], axis=-1)
         x = _leaky(_conv(128, 3, name="main0")(x))
         x = _leaky(_conv(64, 3, name="main1")(x))
@@ -302,7 +309,11 @@ class Regularization(nn.Module):
 
 
 class LiteFlowNet(nn.Module):
-    """Full pyramid network. Parity: liteflownet.py:581-611."""
+    """Full pyramid network. Parity: liteflownet.py:581-611.
+
+    ``warp_bound``: level-2 displacement bound for the Pallas backwarp
+    (see _warp_bound); None falls back to the env var, 0 disables."""
+    warp_bound: int | None = None
 
     @nn.compact
     def __call__(self, img1, img2):
@@ -320,9 +331,9 @@ class LiteFlowNet(nn.Module):
         flow = None
         for idx in (-1, -2, -3, -4, -5):
             lvl = _LEVELS[idx]
-            flow = Matching(lvl, name=f"matching{lvl}")(
+            flow = Matching(lvl, self.warp_bound, name=f"matching{lvl}")(
                 feats1[idx], feats2[idx], flow)
-            flow = Subpixel(lvl, name=f"subpixel{lvl}")(
+            flow = Subpixel(lvl, self.warp_bound, name=f"subpixel{lvl}")(
                 feats1[idx], feats2[idx], flow)
             flow = Regularization(lvl, name=f"regularization{lvl}")(
                 imgs1[idx], imgs2[idx], feats1[idx], flow)
@@ -457,9 +468,9 @@ def _get_variables(shape_hint, allow_random: bool, *, as_numpy: bool = False):
     return _CACHE["dev"]
 
 
-@jax.jit
-def _run(variables, img1, img2):
-    return LiteFlowNet().apply(variables, img1, img2)
+@functools.partial(jax.jit, static_argnames=("warp_bound",))
+def _run(variables, img1, img2, warp_bound=None):
+    return LiteFlowNet(warp_bound).apply(variables, img1, img2)
 
 
 def get_weights(allow_random: bool = False):
@@ -470,7 +481,8 @@ def get_weights(allow_random: bool = False):
 
 
 def liteflownet(prev_gray_or_rgb, next_gray_or_rgb, *,
-                allow_random: bool = False, params=None):
+                allow_random: bool = False, params=None,
+                warp_bound: int | None = None):
     """Estimate (H, W, 2) flow. Accepts RGB (H, W, 3) or grayscale uint8.
 
     Parity: liteflownet.py:614-647 (estimate + calc_optical_flow_...):
@@ -500,9 +512,9 @@ def liteflownet(prev_gray_or_rgb, next_gray_or_rgb, *,
     # units; resize to the caller's resolution and rescale magnitudes
     # (liteflownet.py:631-634)
     if traced:
-        flow = LiteFlowNet().apply(params, img1, img2)
+        flow = LiteFlowNet(warp_bound).apply(params, img1, img2)
     else:
-        flow = _run(params, img1, img2)
+        flow = _run(params, img1, img2, warp_bound)
     flow = bilinear_resize(flow, h, w)
     flow = flow * jnp.asarray([w / pw, h / ph], dtype=jnp.float32)
     return flow

@@ -27,6 +27,7 @@ class CvFlowConfig:
         fb_poly_n=5, fb_poly_sigma=1.2, fb_flags=0,
         hs_alpha=1.0, hs_iterations=3, hs_decay=0.0, hs_delta=1.0,
         lk_window_size=15, lk_max_level=2, lk_step=1,
+        lfn_warp_bound=0,
     )
 
     def __init__(self, show_window: bool = False, **kwargs):
@@ -83,6 +84,11 @@ class CvFlowConfig:
             return dict(win_size=int(self.lk_window_size),
                         max_level=int(self.lk_max_level),
                         step=int(self.lk_step))
+        if self.method == "liteflownet" and int(self.lfn_warp_bound):
+            # level-2 displacement bound: route the CNN's backwarps
+            # through the Pallas bounded kernel (ops/pallas_warp.py) —
+            # an approximation for fast motion, a speedup for slow
+            return dict(warp_bound=int(self.lfn_warp_bound))
         return {}
 
 

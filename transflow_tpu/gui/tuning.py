@@ -27,6 +27,7 @@ FIELDS = [
     ("lk_window_size", "LK window", "int", (3, 41)),
     ("lk_max_level", "LK max level", "int", (0, 5)),
     ("lk_step", "LK step", "int", (1, 32)),
+    ("lfn_warp_bound", "LFN warp bound (0=exact)", "int", (0, 32)),
 ]
 
 FIELD_KINDS = {attr: kind for attr, _, kind, _ in FIELDS}

@@ -5,26 +5,32 @@ or slice size (measured — flow/estimators/liteflownet.py::backwarp), which
 caps the CNN's dominant op far below HBM bandwidth. When the per-pixel
 displacement is BOUNDED by K, the gather decomposes into on-chip selects:
 
-  1. load one haloed row band of the image into VMEM (Element-indexed
+  1. load one haloed 2-D tile of the image into VMEM (Element-indexed
      overlapping blocks, same pattern as ops/pallas_correlation.py);
   2. for each (dy, dx) in the (2K+2)^2 displacement window, slice the
-     band (a VMEM dynamic slice — no HBM traffic) and accumulate it
-     under the bilinear-tap weight that matches that offset;
-  3. skip offsets no pixel in the block uses (@pl.when on the weight
-     max) — real flow fields are smooth, so a block's displacement range
+     tile (a VMEM slice — no HBM traffic) and accumulate it under the
+     bilinear-tap weight that matches that offset;
+  3. skip offsets no pixel in the tile uses (@pl.when on the weight
+     max) — real flow fields are smooth, so a tile's displacement range
      is usually tiny and the loop degenerates to a handful of passes.
+     Tiles are 2-D (block_rows x block_cols) precisely so BOTH the dy
+     and the dx range localize: a full-width row band spans the whole
+     field's x-offset range and defeats the dx skip (measured 2.2x).
 
-HBM traffic: one read of the image band (plus halo re-reads, factor
-(R+2K+2)/R) and one write of the output — the speed-of-light for this op
-— instead of 4 serialized gather taps at 10 GB/s.
+HBM traffic: one read of the image tile (plus halo re-reads) and one
+write of the output — the speed-of-light for this op — instead of 4
+serialized gather taps at 10 GB/s. Compute cost is
+O(active_offsets x tile x C) VPU FMAs, so the kernel wins when flows are
+smooth or K is small, and loses to the gather for white-noise flows at
+large K; the caller chooses (TRANSFLOW_LITEFLOWNET_WARP_BOUND /
+lfn_warp_bound opt in).
 
 SEMANTICS: exact vs the reference grid_sample (zeros padding,
-align_corners) whenever |floor(displacement)| <= K-? (strictly: floor in
-[-K, K] per axis); beyond that the displacement CLAMPS to the window
-(same contract as ops/halo_gather.py). Callers must pick K >= the flow's
-real bound for exactness — the LiteFlowNet integration keeps the exact
-gather as the default and enables this kernel only via an explicit
-bound (TRANSFLOW_LITEFLOWNET_WARP_BOUND).
+align_corners) whenever floor(displacement) is in [-K, K] per axis;
+beyond that the displacement CLAMPS to the window (same contract as
+ops/halo_gather.py). Callers must pick K >= the flow's real bound for
+exactness — the LiteFlowNet integration keeps the exact gather as the
+default and enables this kernel only via an explicit bound.
 """
 import functools
 
@@ -41,8 +47,17 @@ except ImportError:  # pragma: no cover
 __all__ = ["bounded_backwarp"]
 
 
+def _col_pad(bound: int) -> int:
+    """Column-side halo: >= bound+1, rounded so the band's second-minor
+    dim (cols + 2*pad_c) stays divisible by 8 — a Mosaic block-shape
+    requirement for partial blocks (rows use bound+1 as-is: the major
+    dim of a 3-D block is unconstrained)."""
+    return -(-(bound + 1) // 4) * 4
+
+
 def _make_kernel(bound: int, rows: int, cols: int):
     pad = bound + 1
+    pad_c = _col_pad(bound)
     n = 2 * bound + 2
 
     def kernel(y0_ref, x0_ref, wy_ref, wx_ref, band_ref, out_ref):
@@ -55,8 +70,8 @@ def _make_kernel(bound: int, rows: int, cols: int):
         # dy runs in a fori_loop (dynamic offsets are legal on the major
         # dim); dx unrolls statically — Mosaic cannot dynamically slice
         # the sublane axis at non-8-multiple offsets, but static shifts
-        # lower fine. @pl.when skips row offsets no pixel in the block
-        # uses (smooth flow => a handful of live dy values per block).
+        # lower fine. @pl.when skips offsets no pixel in the tile uses
+        # (smooth flow => a handful of live (dy, dx) pairs per tile).
         def body(dyi, carry):
             dy = dyi - bound
             wy_t = jnp.where(y0 == dy, 1.0 - wy,
@@ -70,9 +85,12 @@ def _make_kernel(bound: int, rows: int, cols: int):
                     wx_t = jnp.where(x0 == dx, 1.0 - wx,
                                      jnp.where(x0 == dx - 1, wx, 0.0))
                     weight = wy_t * wx_t
-                    sub = row_band[:, pad + dx:pad + dx + cols, :]
-                    out_ref[...] += (sub.astype(jnp.float32)
-                                     * weight[..., None])
+
+                    @pl.when(jnp.max(weight) > 0.0)
+                    def _():
+                        sub = row_band[:, pad_c + dx:pad_c + dx + cols, :]
+                        out_ref[...] += (sub.astype(jnp.float32)
+                                         * weight[..., None])
 
             return carry
 
@@ -82,9 +100,9 @@ def _make_kernel(bound: int, rows: int, cols: int):
 
 
 @functools.partial(jax.jit, static_argnames=("bound", "block_rows",
-                                             "interpret"))
+                                             "block_cols", "interpret"))
 def bounded_backwarp(image, flow, bound: int, block_rows: int | None = None,
-                     interpret: bool = False):
+                     block_cols: int | None = None, interpret: bool = False):
     """Bilinear warp ``image[(i, j) + flow]`` with displacement clamped to
     ``bound`` pixels per axis. image: (H, W, C); flow: (H, W, 2) in
     pixels (x, y) like the reference; returns float32 (H, W, C).
@@ -98,6 +116,8 @@ def bounded_backwarp(image, flow, bound: int, block_rows: int | None = None,
     image = image.astype(jnp.bfloat16)
     if block_rows is None:
         block_rows = 8
+    if block_cols is None:
+        block_cols = 256
     pad = bound + 1
     fy = flow[..., 1].astype(jnp.float32)
     fx = flow[..., 0].astype(jnp.float32)
@@ -108,9 +128,11 @@ def bounded_backwarp(image, flow, bound: int, block_rows: int | None = None,
     y0 = jnp.clip(y0f, -bound, bound).astype(jnp.int32)
     x0 = jnp.clip(x0f, -bound, bound).astype(jnp.int32)
 
-    nb = -(-h // block_rows)
-    hp = nb * block_rows
-    wp = -(-w // 128) * 128  # lane-friendly minor-dim for the 2-D blocks
+    nr = -(-h // block_rows)
+    hp = nr * block_rows
+    block_cols = min(block_cols, -(-w // 128) * 128)
+    nc = -(-w // block_cols)
+    wp = nc * block_cols
 
     def pad2(a, fill=0):
         return jnp.pad(a, ((0, hp - h), (0, wp - w)),
@@ -118,28 +140,25 @@ def bounded_backwarp(image, flow, bound: int, block_rows: int | None = None,
 
     # zero-pad the image so out-of-frame taps read zeros (grid_sample
     # 'zeros' padding); the halo keeps every in-window slice in range
-    img = jnp.pad(image, ((pad, pad + hp - h), (pad, pad + wp - w),
+    pad_c = _col_pad(bound)
+    img = jnp.pad(image, ((pad, pad + hp - h), (pad_c, pad_c + wp - w),
                           (0, 0)))
 
+    plane = pl.BlockSpec((block_rows, block_cols), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _make_kernel(bound, block_rows, wp),
-        grid=(nb,),
+        _make_kernel(bound, block_rows, block_cols),
+        grid=(nr, nc),
         in_specs=[
-            pl.BlockSpec((block_rows, wp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, wp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, wp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, wp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            plane, plane, plane, plane,
             pl.BlockSpec(
-                (Element(block_rows + 2 * pad), Element(wp + 2 * pad),
-                 Element(c)),
-                lambda i: (i * block_rows, 0, 0),
+                (Element(block_rows + 2 * pad),
+                 Element(block_cols + 2 * pad_c), Element(c)),
+                lambda i, j: (i * block_rows, j * block_cols, 0),
                 memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_rows, wp, c), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((block_rows, block_cols, c),
+                               lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp, c), jnp.float32),
         # the 64-channel lane dim pads to 128 on-chip, doubling the
