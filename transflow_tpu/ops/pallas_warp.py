@@ -17,13 +17,21 @@ displacement is BOUNDED by K, the gather decomposes into on-chip selects:
      and the dx range localize: a full-width row band spans the whole
      field's x-offset range and defeats the dx skip (measured 2.2x).
 
-HBM traffic: one read of the image tile (plus halo re-reads) and one
-write of the output — the speed-of-light for this op — instead of 4
-serialized gather taps at 10 GB/s. Compute cost is
-O(active_offsets x tile x C) VPU FMAs, so the kernel wins when flows are
-smooth or K is small, and loses to the gather for white-noise flows at
-large K; the caller chooses (TRANSFLOW_LITEFLOWNET_WARP_BOUND /
-lfn_warp_bound opt in).
+STATUS — measured on v5e (24-deep data-dependent chains, the only
+honest method through this environment's ~40 ms/dispatch tunnel floor),
+level-2 shape (544, 960, 64), K=16: XLA gather 14.0 ms/op; this kernel
+18.1 ms on near-constant (pan) flows and 80.8 ms on fast-varying smooth
+fields. The kernel does NOT currently beat the gather: the haloed
+Element-block band DMA moves (rows, cols, C) tiles whose contiguous HBM
+runs are only C*2 = 128 bytes, and short-segment DMA rides the same
+~10-20 GB/s wall as the gather it replaces (a copy-only kernel with the
+same band spec costs the same as the warp). Compute cost is
+O(active_offsets x tile x C) VPU FMAs — the offset skips work (white
+noise 365 ms -> pan 18 ms) — so the op is DMA-bound, not select-bound.
+Retained as an opt-in EXPERIMENT (TRANSFLOW_LITEFLOWNET_WARP_BOUND /
+lfn_warp_bound): a future variant needs a fundamentally faster band
+feed (full-width rows are 135 KB-contiguous, but kill the dx skip;
+or an MXU selection-matrix formulation for the x-interp).
 
 SEMANTICS: exact vs the reference grid_sample (zeros padding,
 align_corners) whenever floor(displacement) is in [-K, K] per axis;
