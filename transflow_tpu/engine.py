@@ -32,10 +32,15 @@ class SourceRuntime:
     ``put``: upload function for (H, W[, C]) arrays — plain device_put on
     one chip, H-sharded placement under a ('space',) mesh."""
 
-    def __init__(self, source: FlowSource, estimator_step, put=None):
+    def __init__(self, source: FlowSource, estimator_step, put=None,
+                 params_put=None, mesh_sharded: bool = False):
         self.source = source
         self.estimator_step = estimator_step  # None for flow-yielding sources
         self.put = put if put is not None else jax.device_put
+        # weight placement for rebuilt steps: under a mesh the params must
+        # be replicated onto every device (same as Engine.__init__ does)
+        self.params_put = params_put
+        self.mesh_sharded = mesh_sharded
         self.prev_gray = None
         self.prev_flow = None
         self.last_raw = None
@@ -50,7 +55,12 @@ class SourceRuntime:
             return
         self._cfg_version = config.version
         self.estimator_step = make_estimator_step(
-            config.method, config.estimator_kwargs(), self.source.direction)
+            config.method,
+            mesh_safe_estimator_kwargs(config, self.mesh_sharded),
+            self.source.direction)
+        if self.params_put is not None and self.estimator_step.params != ():
+            self.estimator_step.params = jax.tree.map(
+                self.params_put, self.estimator_step.params)
 
     def reset(self, prime_frame: np.ndarray):
         h, w = self.source.height, self.source.width
@@ -82,6 +92,22 @@ class SourceRuntime:
         if keep:
             self.last_raw = raw
         return raw
+
+
+def mesh_safe_estimator_kwargs(config, mesh_sharded: bool) -> dict:
+    """Estimator kwargs with mesh-incompatible options stripped.
+
+    The bounded Pallas warp (lfn_warp_bound) is a tpu_custom_call with no
+    SPMD partitioning rule, so it cannot trace over GSPMD-sharded
+    operands; under a mesh the exact gather path is used instead."""
+    kwargs = config.estimator_kwargs()
+    if mesh_sharded and kwargs.get("warp_bound"):
+        logger.warning(
+            "lfn_warp_bound=%s is ignored under --mesh (the Pallas warp "
+            "kernel has no SPMD partitioning rule); using the exact "
+            "gather path", kwargs["warp_bound"])
+        kwargs["warp_bound"] = 0
+    return kwargs
 
 
 def make_estimator_step(method: str, estimator_kwargs: dict,
@@ -183,13 +209,18 @@ class Engine:
             estimator_step = None
             if source.yields_frames:
                 estimator_step = make_estimator_step(
-                    source.config.method, source.config.estimator_kwargs(),
+                    source.config.method,
+                    mesh_safe_estimator_kwargs(source.config,
+                                               mesh is not None),
                     source.direction)
                 if mesh is not None and estimator_step.params != ():
                     estimator_step.params = jax.tree.map(
                         put_repl, estimator_step.params)
             self.runtimes.append(
-                SourceRuntime(source, estimator_step, put=put_state))
+                SourceRuntime(source, estimator_step, put=put_state,
+                              params_put=(put_repl if mesh is not None
+                                          else None),
+                              mesh_sharded=mesh is not None))
         postprocesses = [src.build_postprocess() for src in flow_sources]
         merge = get_merge_function(cfg.flows_merging_function)
         if mesh is not None:

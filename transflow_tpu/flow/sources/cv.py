@@ -84,10 +84,14 @@ class CvFlowConfig:
             return dict(win_size=int(self.lk_window_size),
                         max_level=int(self.lk_max_level),
                         step=int(self.lk_step))
-        if self.method == "liteflownet" and int(self.lfn_warp_bound):
+        if self.method == "liteflownet":
             # level-2 displacement bound: route the CNN's backwarps
-            # through the Pallas bounded kernel (ops/pallas_warp.py) —
-            # an approximation for fast motion, a speedup for slow
+            # through the Pallas bounded kernel (ops/pallas_warp.py).
+            # Passed explicitly even when 0 so the config is
+            # authoritative: 0 reaches _warp_bound as base=0 -> exact
+            # path, overriding any TRANSFLOW_LITEFLOWNET_WARP_BOUND env
+            # (the env fallback only applies to direct API calls that
+            # leave warp_bound unset).
             return dict(warp_bound=int(self.lfn_warp_bound))
         return {}
 

@@ -394,6 +394,10 @@ class Pipeline:
         warning (parallel/mesh.py has the measurements)."""
         from .flow.filters import static_clip_bound
         halo = self.config.halo
+        if halo is not None and halo < 0:
+            # bounded_row_gather(halo<0) iterates an empty shift range and
+            # silently zeroes every moved pixel — refuse up front
+            raise ValueError(f"--halo {halo}: must be >= 0")
         if not self.config.mesh:
             if halo is not None:
                 bound = static_clip_bound(self.config.flow_filters)
@@ -427,8 +431,8 @@ class Pipeline:
             merge_ok = (len(self.config.extra_flow_paths) == 0
                         or self.config.flows_merging_function
                         in ("first", "average", "absmax"))
-            if (bound is not None and self.config.kernel_path is None
-                    and merge_ok):
+            if (bound is not None and bound >= 0
+                    and self.config.kernel_path is None and merge_ok):
                 halo = int(np.ceil(bound * max(1, self.height_factor)))
                 logger.info("mesh: derived halo=%d from the clip filter",
                             halo)
