@@ -497,6 +497,24 @@ def bench_e2e_cli(frames: int = 96) -> dict:
     return out
 
 
+def load_last_healthy(path: str):
+    """Most recent healthy capture (or None), stamped with its age.
+
+    Refusal records attach this so a sick window at record time does not
+    erase the evidence a healthy run produced (same binary, same
+    methodology); the age makes the provenance explicit."""
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as file:
+            record = json.load(file)
+        record["age_hours"] = round(
+            (time.time() - record.get("timestamp", 0)) / 3600.0, 1)
+        return record
+    except Exception:
+        return None
+
+
 def main():
     watchdog = _Watchdog()
     record_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -531,9 +549,15 @@ def main():
         time.sleep(120.0)
         tpu = bench_tpu(watchdog)
     watchdog.cancel()
+    healthy_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".bench_last_healthy.json")
     if not tpu["healthy"]:
         # REFUSAL record: a sick-regime number is the infrastructure, not
-        # the framework — never print it as a bare plausible-looking value
+        # the framework — never print it as a bare plausible-looking value.
+        # Attach the most recent HEALTHY capture (clearly labelled with its
+        # age) so a sick window at record time does not erase the evidence
+        # a healthy run produced: same binary, same methodology.
+        last_healthy = load_last_healthy(healthy_path)
         print(json.dumps({
             "metric": "1080p_e2e_fps_flow_warp_composite",
             "value": 0,
@@ -549,10 +573,11 @@ def main():
             "cpu_reference_fps": round(cpu_fps, 3),
             "healthy_reference": "28k-101k fps on a healthy tunnel "
                                  "(BASELINE.md, same binary)",
+            "last_healthy_record": last_healthy,
             **e2e,
         }))
         return
-    print(json.dumps({
+    record = {
         "metric": "1080p_e2e_fps_flow_warp_composite",
         "value": round(tpu["fps"], 2),
         "unit": "frames/sec",
@@ -568,7 +593,13 @@ def main():
         "vmem_resident_state_mb": tpu["vmem_resident_state_mb"],
         "cpu_reference_fps": round(cpu_fps, 3),
         **e2e,
-    }))
+    }
+    try:  # persist for future refusal records' last_healthy_record field
+        with open(healthy_path, "w") as file:
+            json.dump({**record, "timestamp": time.time()}, file)
+    except OSError:
+        pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -42,3 +42,21 @@ def test_fused_slower_than_stages_flagged():
     reasons = health_verdict(tunnel_rtt=0.04, chunk_rtt=0.5, fps=200.0,
                              ms_per_frame=5.0, est_ms=0.5, comp_ms=0.5)
     assert any("stage sum" in r for r in reasons)
+
+
+def test_last_healthy_sidecar_round_trip(tmp_path):
+    """Refusal records attach the last healthy capture with its age."""
+    import json
+    import time
+    from bench import load_last_healthy
+    path = str(tmp_path / "last_healthy.json")
+    assert load_last_healthy(path) is None
+    with open(path, "w") as file:
+        json.dump({"value": 69040.0, "healthy": True,
+                   "timestamp": time.time() - 7200.0}, file)
+    record = load_last_healthy(path)
+    assert record["value"] == 69040.0
+    assert 1.9 <= record["age_hours"] <= 2.1
+    with open(path, "w") as file:
+        file.write("{corrupt")
+    assert load_last_healthy(path) is None
