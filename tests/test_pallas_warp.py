@@ -101,6 +101,79 @@ class TestBoundedBackwarp:
         assert not np.allclose(np.asarray(via_api), np.asarray(exact))
 
 
+class TestMxuBackwarp:
+    """MXU selection-matrix variant: exact in x, y clamped to [-K, K]."""
+
+    @pytest.mark.parametrize("bound", [3, 8])
+    @pytest.mark.parametrize("shape", [(24, 40, 16), (37, 130, 24)])
+    def test_exact_within_y_bound(self, bound, shape):
+        from transflow_tpu.ops.pallas_warp import mxu_backwarp
+        image = _rand(shape, seed=bound)
+        rng = np.random.default_rng(bound + 100)
+        h, w = shape[:2]
+        # y within the bound; x UNBOUNDED (up to 1.5x the width) — the
+        # selection matrix handles any horizontal displacement exactly
+        flow = jnp.asarray(np.stack([
+            1.5 * w * (2 * rng.random((h, w)) - 1),
+            bound * (2 * rng.random((h, w)) - 1)], -1).astype(np.float32))
+        want = backwarp(image, flow)
+        got = mxu_backwarp(image, flow, bound, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-2)
+
+    def test_integer_flow_is_bitexact_in_bf16_range(self):
+        from transflow_tpu.ops.pallas_warp import mxu_backwarp
+        image = jnp.asarray(
+            np.random.default_rng(0)
+            .integers(-64, 64, size=(16, 32, 16)).astype(np.float32))
+        flow = jnp.asarray(np.random.default_rng(1)
+                           .integers(-3, 4, size=(16, 32, 2))
+                           .astype(np.float32))
+        want = backwarp(image, flow)
+        got = mxu_backwarp(image, flow, 4, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_out_of_frame_taps_read_zero(self):
+        from transflow_tpu.ops.pallas_warp import mxu_backwarp
+        image = jnp.ones((16, 32, 16), jnp.float32)
+        flow = jnp.full((16, 32, 2), -2.5, jnp.float32)
+        want = backwarp(image, flow)
+        got = mxu_backwarp(image, flow, 4, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-2)
+        assert np.all(np.asarray(got)[:, :1] == 0)
+
+    def test_pair_fully_left_of_frame_zeros_both_taps(self):
+        """A fractional x landing below -1 must not alias its +1 tap onto
+        column 0 (regression: the lower clip must leave the one-hot
+        unmatched, not clamp onto the left zero column)."""
+        from transflow_tpu.ops.pallas_warp import mxu_backwarp
+        image = jnp.ones((16, 32, 16), jnp.float32)
+        flow = jnp.zeros((16, 32, 2), jnp.float32)
+        flow = flow.at[..., 0].set(-3.5)  # x0 = col-4, x0+1 = col-3
+        got = np.asarray(mxu_backwarp(image, flow, 2, interpret=True))
+        assert np.all(got[:, :3] == 0)
+
+    def test_beyond_y_bound_clamps_floor_keeps_fraction(self):
+        from transflow_tpu.ops.pallas_warp import mxu_backwarp
+        bound = 3
+        image = _rand((24, 48, 16), seed=7)
+        rng = np.random.default_rng(8)
+        fy = (12 * rng.standard_normal((24, 48))).astype(np.float32)
+        fx = (20 * rng.standard_normal((24, 48))).astype(np.float32)
+        flow = jnp.asarray(np.stack([fx, fy], -1))
+        # reference: clamp ONLY the y floor (x is exact in this variant)
+        floor_y = jnp.floor(flow[..., 1])
+        ref_flow = jnp.stack(
+            [flow[..., 0],
+             jnp.clip(floor_y, -bound, bound) + (flow[..., 1] - floor_y)],
+            axis=-1)
+        want = backwarp(image, ref_flow)
+        got = mxu_backwarp(image, flow, bound, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-2)
+
+
 class TestWarpBoundEnv:
 
     def test_unset_means_exact(self, monkeypatch):
