@@ -233,3 +233,25 @@ class TestConfigSurface:
         calls.clear()
         lfn.liteflownet(img, img, allow_random=True)
         assert calls == []                  # default stays exact
+
+    def test_warp_kernel_env_selects_mxu(self, monkeypatch):
+        """TRANSFLOW_LITEFLOWNET_WARP_KERNEL=mxu routes bounded warps to
+        the selection-matrix kernel instead of the 2-D select kernel."""
+        import transflow_tpu.ops.pallas_warp as pw
+        from transflow_tpu.flow.estimators.liteflownet import backwarp
+        mxu_calls, sel_calls = [], []
+        orig_mxu, orig_sel = pw.mxu_backwarp, pw.bounded_backwarp
+        monkeypatch.setattr(pw, "mxu_backwarp",
+                            lambda *a, **k: (mxu_calls.append(a[2]),
+                                             orig_mxu(*a, **k))[1])
+        monkeypatch.setattr(pw, "bounded_backwarp",
+                            lambda *a, **k: (sel_calls.append(a[2]),
+                                             orig_sel(*a, **k))[1])
+        img = jnp.ones((16, 32, 16), jnp.float32)
+        flow = jnp.zeros((16, 32, 2), jnp.float32)
+        monkeypatch.setenv("TRANSFLOW_LITEFLOWNET_WARP_KERNEL", "mxu")
+        backwarp(img, flow, bound=4)
+        assert mxu_calls == [4] and sel_calls == []
+        monkeypatch.delenv("TRANSFLOW_LITEFLOWNET_WARP_KERNEL")
+        backwarp(img, flow, bound=4)
+        assert mxu_calls == [4] and sel_calls == [4]

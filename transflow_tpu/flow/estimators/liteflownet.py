@@ -120,9 +120,18 @@ def backwarp(image, flow, bound: int | None = None):
     TRANSFLOW_LITEFLOWNET_WARP_BOUND (see _warp_bound); default None =
     exact."""
     if bound is not None and image.shape[-1] >= 16:
+        # TRANSFLOW_LITEFLOWNET_WARP_KERNEL selects the bounded kernel:
+        # 'select' (default) = 2-D tiled in-VMEM selects (dx AND dy
+        # bounded); 'mxu' = selection-matrix matmul variant (exact in x,
+        # dy bounded) — see ops/pallas_warp.py for the measured tradeoff
+        interpret = jax.default_backend() == "cpu"
+        if os.environ.get("TRANSFLOW_LITEFLOWNET_WARP_KERNEL") == "mxu":
+            from ...ops.pallas_warp import mxu_backwarp
+            return mxu_backwarp(image, flow, int(bound),
+                                interpret=interpret)
         from ...ops.pallas_warp import bounded_backwarp
         return bounded_backwarp(image, flow, int(bound),
-                                interpret=jax.default_backend() == "cpu")
+                                interpret=interpret)
     h, w = image.shape[-3], image.shape[-2]
     c = image.shape[-1]
     zrow = jnp.zeros((1, w, c), image.dtype)
