@@ -19,6 +19,19 @@ def test_round2_quantized_signature_flagged():
     assert reasons, "quantized sick regime must be flagged"
     assert any("physical floor" in r for r in reasons)
     assert any("RTT" in r for r in reasons)
+    # the 9.3 s chunk itself must be flagged: the verdict bar matches the
+    # measurement gate's 2 s, not the looser 10 s it once squeaked under
+    assert any("chunk" in r for r in reasons)
+
+
+def test_sick_chunk_with_healthy_window_sample_flagged():
+    """A healthy window mid-sick-stretch can make the fps sample look
+    fine while the chunk gate never cleared: the chunk reason alone must
+    mark the record unhealthy."""
+    reasons = health_verdict(tunnel_rtt=0.05, chunk_rtt=5.4, fps=30000.0,
+                             ms_per_frame=0.033, est_ms=0.02,
+                             comp_ms=0.02)
+    assert any("chunk" in r for r in reasons)
 
 
 def test_dead_tunnel_flagged():

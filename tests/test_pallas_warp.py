@@ -255,3 +255,68 @@ class TestConfigSurface:
         monkeypatch.delenv("TRANSFLOW_LITEFLOWNET_WARP_KERNEL")
         backwarp(img, flow, bound=4)
         assert mxu_calls == [4] and sel_calls == [4]
+
+
+class TestReviewFixes:
+    """Round-3 self-review findings: negative bounds refuse, env kernel
+    selection is honored across calls (jit static key), and --mesh runs
+    force the XLA correlation (the Pallas kernels have no SPMD rule)."""
+
+    def test_negative_bound_refused_everywhere(self, monkeypatch):
+        from transflow_tpu.flow.sources.cv import CvFlowConfig
+        with pytest.raises(ValueError, match="lfn_warp_bound"):
+            CvFlowConfig(method="liteflownet", lfn_warp_bound=-16)
+        with pytest.raises(ValueError, match=">= 0"):
+            _warp_bound(2, -16)
+        monkeypatch.setenv("TRANSFLOW_LITEFLOWNET_WARP_BOUND", "-4")
+        with pytest.raises(ValueError, match=">= 0"):
+            _warp_bound(2)
+        monkeypatch.setenv("TRANSFLOW_LITEFLOWNET_WARP_BOUND", "16px")
+        with pytest.raises(ValueError, match="WARP_BOUND"):
+            _warp_bound(2)
+
+    def test_env_kernel_change_recompiles(self, monkeypatch):
+        """Setting TRANSFLOW_LITEFLOWNET_WARP_KERNEL after a first call
+        must reach the kernel on the next call — the env is resolved
+        eagerly into _run's static key, not baked at first trace."""
+        import transflow_tpu.ops.pallas_warp as pw
+        from transflow_tpu.flow.estimators import liteflownet as lfn
+        calls = []
+        orig = pw.mxu_backwarp
+        monkeypatch.setattr(
+            pw, "mxu_backwarp",
+            lambda *a, **k: (calls.append(a[2]), orig(*a, **k))[1])
+        monkeypatch.setenv("TRANSFLOW_LITEFLOWNET_WARP_BOUND", "8")
+        monkeypatch.delenv("TRANSFLOW_LITEFLOWNET_WARP_KERNEL",
+                           raising=False)
+        img = np.zeros((64, 96), np.uint8)
+        lfn.liteflownet(img, img, allow_random=True)
+        assert calls == []                      # select kernel (default)
+        monkeypatch.setenv("TRANSFLOW_LITEFLOWNET_WARP_KERNEL", "mxu")
+        lfn.liteflownet(img, img, allow_random=True)
+        assert calls and max(calls) == 8        # mxu now reached
+
+    def test_mesh_forces_xla_correlation(self):
+        from transflow_tpu.engine import mesh_safe_estimator_kwargs
+        from transflow_tpu.flow.sources.cv import CvFlowConfig
+        cfg = CvFlowConfig(method="liteflownet", lfn_warp_bound=12)
+        meshed = mesh_safe_estimator_kwargs(cfg, True)
+        assert meshed["corr_kernel"] == "xla"
+        assert meshed["warp_bound"] == 0
+        plain = mesh_safe_estimator_kwargs(cfg, False)
+        assert "corr_kernel" not in plain
+        assert plain["warp_bound"] == 12
+        fb = mesh_safe_estimator_kwargs(CvFlowConfig(method="farneback"),
+                                        True)
+        assert "corr_kernel" not in fb
+
+    def test_correlation_kernel_override(self):
+        from transflow_tpu.ops.correlation import correlation
+        f1 = _rand((16, 24, 8), seed=1)
+        f2 = _rand((16, 24, 8), seed=2)
+        want = correlation(f1, f2, kernel="xla")
+        got = correlation(f1, f2, kernel="pallas")  # interpret on CPU
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+        with pytest.raises(ValueError, match="correlation kernel"):
+            correlation(f1, f2, kernel="cuda")

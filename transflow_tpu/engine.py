@@ -97,9 +97,11 @@ class SourceRuntime:
 def mesh_safe_estimator_kwargs(config, mesh_sharded: bool) -> dict:
     """Estimator kwargs with mesh-incompatible options stripped.
 
-    The bounded Pallas warp (lfn_warp_bound) is a tpu_custom_call with no
-    SPMD partitioning rule, so it cannot trace over GSPMD-sharded
-    operands; under a mesh the exact gather path is used instead."""
+    The Pallas kernels (the bounded warp behind lfn_warp_bound, and the
+    correlation band kernel the TPU backend dispatches to by default) are
+    tpu_custom_calls with no SPMD partitioning rule, so they cannot trace
+    over GSPMD-sharded operands; under a mesh the exact gather path and
+    the XLA shift correlation are used instead."""
     kwargs = config.estimator_kwargs()
     if mesh_sharded and kwargs.get("warp_bound"):
         logger.warning(
@@ -107,6 +109,10 @@ def mesh_safe_estimator_kwargs(config, mesh_sharded: bool) -> dict:
             "kernel has no SPMD partitioning rule); using the exact "
             "gather path", kwargs["warp_bound"])
         kwargs["warp_bound"] = 0
+    if mesh_sharded and config.method == "liteflownet":
+        # without this the TPU backend dispatch would pick the Pallas
+        # correlation kernel, which fails to trace over sharded operands
+        kwargs["corr_kernel"] = "xla"
     return kwargs
 
 

@@ -68,6 +68,19 @@ def _conv(features, kernel, stride=1, pad=None, name=None):
                    name=name, dtype=_compute_dtype(), param_dtype=jnp.float32)
 
 
+def _env_warp_bound() -> int:
+    """TRANSFLOW_LITEFLOWNET_WARP_BOUND parsed with context (0 if unset)."""
+    value = os.environ.get("TRANSFLOW_LITEFLOWNET_WARP_BOUND")
+    if not value:
+        return 0
+    try:
+        return int(value)
+    except ValueError:
+        raise ValueError(
+            f"TRANSFLOW_LITEFLOWNET_WARP_BOUND={value!r} is not an "
+            "integer (pixels at level 2; 0 disables)") from None
+
+
 def _warp_bound(level: int, base: int | None = None) -> int | None:
     """Per-level displacement bound for the opt-in Pallas warp kernel.
 
@@ -77,14 +90,20 @@ def _warp_bound(level: int, base: int | None = None) -> int | None:
     env) means OFF: the exact gather path. The config surface is
     ``lfn_warp_bound`` (flow/sources/cv.py CvFlowConfig)."""
     if base is None:
-        value = os.environ.get("TRANSFLOW_LITEFLOWNET_WARP_BOUND")
-        base = int(value) if value else 0
+        base = _env_warp_bound()
+    if base < 0:
+        # a negative bound would silently floor to 3 and clamp all motion
+        # to +-3 px — refuse like the analogous --halo < 0 check
+        raise ValueError(
+            f"lfn_warp_bound must be >= 0, got {base} (0 disables the "
+            "bounded kernel)")
     if not base:
         return None
     return max(3, int(base) >> (level - 2))
 
 
-def backwarp(image, flow, bound: int | None = None):
+def backwarp(image, flow, bound: int | None = None,
+             kernel: str | None = None):
     """Bilinear warp with zero padding, align_corners semantics.
 
     Parity: liteflownet.py:398-412 (grid_sample). ``flow`` is in pixels.
@@ -120,12 +139,21 @@ def backwarp(image, flow, bound: int | None = None):
     TRANSFLOW_LITEFLOWNET_WARP_BOUND (see _warp_bound); default None =
     exact."""
     if bound is not None and image.shape[-1] >= 16:
-        # TRANSFLOW_LITEFLOWNET_WARP_KERNEL selects the bounded kernel:
-        # 'select' (default) = 2-D tiled in-VMEM selects (dx AND dy
-        # bounded); 'mxu' = selection-matrix matmul variant (exact in x,
-        # dy bounded) — see ops/pallas_warp.py for the measured tradeoff
+        # ``kernel`` selects the bounded kernel: 'select' (default) = 2-D
+        # tiled in-VMEM selects (dx AND dy bounded); 'mxu' = selection-
+        # matrix matmul variant (exact in x, dy bounded) — see
+        # ops/pallas_warp.py for the measured tradeoff. None falls back to
+        # TRANSFLOW_LITEFLOWNET_WARP_KERNEL, read here AT TRACE TIME: the
+        # liteflownet() entry resolves it eagerly and passes it as a jit
+        # static argument so env changes between calls are honored.
+        if kernel is None:
+            kernel = os.environ.get("TRANSFLOW_LITEFLOWNET_WARP_KERNEL")
+        kernel = kernel or "select"
+        if kernel not in ("select", "mxu"):
+            raise ValueError(
+                f"warp kernel must be 'select' or 'mxu', got {kernel!r}")
         interpret = jax.default_backend() == "cpu"
-        if os.environ.get("TRANSFLOW_LITEFLOWNET_WARP_KERNEL") == "mxu":
+        if kernel == "mxu":
             from ...ops.pallas_warp import mxu_backwarp
             return mxu_backwarp(image, flow, int(bound),
                                 interpret=interpret)
@@ -222,6 +250,8 @@ class Matching(nn.Module):
     """Cost-volume matching head. Parity: liteflownet.py:463-503."""
     level: int
     warp_bound: int | None = None
+    warp_kernel: str | None = None
+    corr_kernel: str | None = None
 
     @nn.compact
     def __call__(self, feat1, feat2, flow):
@@ -235,11 +265,14 @@ class Matching(nn.Module):
                 "upflow_kernel", _bilinear_deconv_init, (4, 4, 2))
             flow = _upsample2x_groupdeconv(flow, up_kernel)
             feat2 = backwarp(feat2, flow * _FLT_BACKWARP[lvl],
-                             bound=_warp_bound(lvl, self.warp_bound))
+                             bound=_warp_bound(lvl, self.warp_bound),
+                             kernel=self.warp_kernel)
         if lvl >= 4:
-            corr = _leaky(correlation7x7(feat1, feat2, stride=1))
+            corr = _leaky(correlation7x7(feat1, feat2, stride=1,
+                                         kernel=self.corr_kernel))
         else:
-            corr = _leaky(correlation7x7(feat1, feat2, stride=2))
+            corr = _leaky(correlation7x7(feat1, feat2, stride=2,
+                                         kernel=self.corr_kernel))
             upcorr_kernel = self.param(
                 "upcorr_kernel", _bilinear_deconv_init, (4, 4, 49))
             corr = _upsample2x_groupdeconv(corr, upcorr_kernel)
@@ -254,6 +287,7 @@ class Subpixel(nn.Module):
     """Sub-pixel refinement head. Parity: liteflownet.py:505-531."""
     level: int
     warp_bound: int | None = None
+    warp_kernel: str | None = None
 
     @nn.compact
     def __call__(self, feat1, feat2, flow):
@@ -263,7 +297,8 @@ class Subpixel(nn.Module):
             feat1 = _leaky(feat_conv(feat1))
             feat2 = _leaky(feat_conv(feat2))
         warped = backwarp(feat2, flow * _FLT_BACKWARP[lvl],
-                          bound=_warp_bound(lvl, self.warp_bound))
+                          bound=_warp_bound(lvl, self.warp_bound),
+                          kernel=self.warp_kernel)
         x = jnp.concatenate([feat1, warped, flow], axis=-1)
         x = _leaky(_conv(128, 3, name="main0")(x))
         x = _leaky(_conv(64, 3, name="main1")(x))
@@ -321,8 +356,14 @@ class LiteFlowNet(nn.Module):
     """Full pyramid network. Parity: liteflownet.py:581-611.
 
     ``warp_bound``: level-2 displacement bound for the Pallas backwarp
-    (see _warp_bound); None falls back to the env var, 0 disables."""
+    (see _warp_bound); None falls back to the env var, 0 disables.
+    ``warp_kernel``: 'select' | 'mxu' bounded-kernel variant (see
+    backwarp); ``corr_kernel``: 'xla' | 'pallas' correlation override
+    (ops/correlation.py) — 'xla' is required under GSPMD sharding, where
+    the Pallas kernel has no partitioning rule."""
     warp_bound: int | None = None
+    warp_kernel: str | None = None
+    corr_kernel: str | None = None
 
     @nn.compact
     def __call__(self, img1, img2):
@@ -340,9 +381,11 @@ class LiteFlowNet(nn.Module):
         flow = None
         for idx in (-1, -2, -3, -4, -5):
             lvl = _LEVELS[idx]
-            flow = Matching(lvl, self.warp_bound, name=f"matching{lvl}")(
+            flow = Matching(lvl, self.warp_bound, self.warp_kernel,
+                            self.corr_kernel, name=f"matching{lvl}")(
                 feats1[idx], feats2[idx], flow)
-            flow = Subpixel(lvl, self.warp_bound, name=f"subpixel{lvl}")(
+            flow = Subpixel(lvl, self.warp_bound, self.warp_kernel,
+                            name=f"subpixel{lvl}")(
                 feats1[idx], feats2[idx], flow)
             flow = Regularization(lvl, name=f"regularization{lvl}")(
                 imgs1[idx], imgs2[idx], feats1[idx], flow)
@@ -477,9 +520,12 @@ def _get_variables(shape_hint, allow_random: bool, *, as_numpy: bool = False):
     return _CACHE["dev"]
 
 
-@functools.partial(jax.jit, static_argnames=("warp_bound",))
-def _run(variables, img1, img2, warp_bound=None):
-    return LiteFlowNet(warp_bound).apply(variables, img1, img2)
+@functools.partial(jax.jit, static_argnames=("warp_bound", "warp_kernel",
+                                             "corr_kernel"))
+def _run(variables, img1, img2, warp_bound=None, warp_kernel=None,
+         corr_kernel=None):
+    return LiteFlowNet(warp_bound, warp_kernel, corr_kernel).apply(
+        variables, img1, img2)
 
 
 def get_weights(allow_random: bool = False):
@@ -491,7 +537,9 @@ def get_weights(allow_random: bool = False):
 
 def liteflownet(prev_gray_or_rgb, next_gray_or_rgb, *,
                 allow_random: bool = False, params=None,
-                warp_bound: int | None = None):
+                warp_bound: int | None = None,
+                warp_kernel: str | None = None,
+                corr_kernel: str | None = None):
     """Estimate (H, W, 2) flow. Accepts RGB (H, W, 3) or grayscale uint8.
 
     Parity: liteflownet.py:614-647 (estimate + calc_optical_flow_...):
@@ -517,13 +565,23 @@ def liteflownet(prev_gray_or_rgb, next_gray_or_rgb, *,
     if (ph, pw) != (h, w):
         img1 = bilinear_resize(img1, ph, pw)
         img2 = bilinear_resize(img2, ph, pw)
+    # resolve the env fallbacks EAGERLY, outside jit, so they become part
+    # of _run's static cache key — an env change between two calls in the
+    # same process must recompile, not silently replay the first config
+    if warp_bound is None:
+        warp_bound = _env_warp_bound() or None
+    if warp_kernel is None:
+        warp_kernel = (os.environ.get("TRANSFLOW_LITEFLOWNET_WARP_KERNEL")
+                       or None)
     # the network emits flow on the level-2 (half-res) grid in full-res pixel
     # units; resize to the caller's resolution and rescale magnitudes
     # (liteflownet.py:631-634)
     if traced:
-        flow = LiteFlowNet(warp_bound).apply(params, img1, img2)
+        flow = LiteFlowNet(warp_bound, warp_kernel, corr_kernel).apply(
+            params, img1, img2)
     else:
-        flow = _run(params, img1, img2, warp_bound)
+        flow = _run(params, img1, img2, warp_bound, warp_kernel,
+                    corr_kernel)
     flow = bilinear_resize(flow, h, w)
     flow = flow * jnp.asarray([w / pw, h / ph], dtype=jnp.float32)
     return flow

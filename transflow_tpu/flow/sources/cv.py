@@ -38,6 +38,11 @@ class CvFlowConfig:
             setattr(self, key, kwargs.get(key, default))
         if self.method not in METHODS:
             raise ValueError(f"Unknown flow method {self.method!r}")
+        if int(self.lfn_warp_bound) < 0:
+            # a negative bound would reach _warp_bound's floor and clamp
+            # all motion to +-3 px — refuse up front like --halo < 0
+            raise ValueError(
+                f"lfn_warp_bound must be >= 0, got {self.lfn_warp_bound}")
         self.show_window = show_window
         self.window = None
         self.version = 0  # bumped by the tuning window; engine re-jits

@@ -37,10 +37,23 @@ def correlation7x7(f1, f2, stride: int = 1):
     return jnp.stack(outs, axis=-1)
 
 
-def correlation(f1, f2, stride: int = 1):
+def correlation(f1, f2, stride: int = 1, kernel: str | None = None):
     """Backend dispatcher: the Pallas band kernel on TPU (1,000-55,000x
-    faster than the XLA shift formulation, measured on v5e), XLA elsewhere."""
-    if jax.default_backend() != "cpu":
+    faster than the XLA shift formulation, measured on v5e), XLA elsewhere.
+
+    ``kernel``: 'xla' forces the shift formulation, 'pallas' forces the
+    band kernel, None dispatches on the backend. GSPMD-sharded callers
+    MUST force 'xla' — the Pallas kernel is a tpu_custom_call with no SPMD
+    partitioning rule (engine.mesh_safe_estimator_kwargs does this for
+    --mesh runs)."""
+    if kernel not in (None, "xla", "pallas"):
+        raise ValueError(
+            f"correlation kernel must be 'xla' or 'pallas', got {kernel!r}")
+    if kernel == "xla":
+        return correlation7x7(f1, f2, stride=stride)
+    if kernel == "pallas" or jax.default_backend() != "cpu":
         from .pallas_correlation import pallas_correlation7x7
-        return pallas_correlation7x7(f1, f2, stride=stride)
+        return pallas_correlation7x7(
+            f1, f2, stride=stride,
+            interpret=jax.default_backend() == "cpu")
     return correlation7x7(f1, f2, stride=stride)
