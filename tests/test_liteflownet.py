@@ -213,6 +213,22 @@ class TestPallasCorrelation:
                                                    interpret=True))
             np.testing.assert_allclose(got, ref, atol=1e-5)
 
+    def test_bf16_staging_matches_f32_math_on_bf16_values(self):
+        """bf16 inputs are staged bf16 (half the band DMA) but the kernel
+        computes f32 — results must equal the XLA path fed the SAME bf16
+        values upcast to f32 (no extra quantization beyond the input's)."""
+        from transflow_tpu.ops.pallas_correlation import pallas_correlation7x7
+        rng = np.random.default_rng(5)
+        f1 = jnp.asarray(rng.normal(size=(16, 24, 16))
+                         .astype(np.float32)).astype(jnp.bfloat16)
+        f2 = jnp.asarray(rng.normal(size=(16, 24, 16))
+                         .astype(np.float32)).astype(jnp.bfloat16)
+        ref = np.asarray(correlation7x7(f1.astype(jnp.float32),
+                                        f2.astype(jnp.float32), stride=1))
+        got = np.asarray(pallas_correlation7x7(f1, f2, stride=1,
+                                               interpret=True))
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
 
 class TestModelIntegration:
     """FlowTransferModel with the CNN estimator: weights must thread through

@@ -27,8 +27,13 @@ from .correlation import MAX_DISP, WINDOW
 
 
 def _kernel(f1_ref, f2_ref, out_ref):
-    """Stride-free band kernel: f2_ref is the haloed band (pad = MAX_DISP)."""
-    f1 = f1_ref[...]
+    """Stride-free band kernel: f2_ref is the haloed band (pad = MAX_DISP).
+
+    Bands may be staged bf16 (the CNN's feature dtype — half the DMA);
+    the products and channel reduction are f32 either way, so a bf16-fed
+    call computes exactly what the f32 path computes on the same bf16
+    values."""
+    f1 = f1_ref[...].astype(jnp.float32)
     tile_h, w = f1_ref.shape[0], f1_ref.shape[1]
     inv_c = 1.0 / f1_ref.shape[2]
     for dy in range(-MAX_DISP, MAX_DISP + 1):
@@ -36,18 +41,20 @@ def _kernel(f1_ref, f2_ref, out_ref):
             ch = (dy + MAX_DISP) * WINDOW + (dx + MAX_DISP)
             window = f2_ref[pl.ds(MAX_DISP + dy, tile_h),
                             pl.ds(MAX_DISP + dx, w), :]
-            out_ref[:, :, ch] = jnp.sum(f1 * window, axis=-1) * inv_c
+            out_ref[:, :, ch] = (
+                jnp.sum(f1 * window.astype(jnp.float32), axis=-1) * inv_c)
 
 
-def _pick_tile_h(h: int, w: int, c: int) -> int:
+def _pick_tile_h(h: int, w: int, c: int, itemsize: int = 4) -> int:
     """Largest row band that divides h and fits the VMEM budget."""
     budget = 6 << 20  # bytes for f1 band + haloed f2 band
     best = 1
     for tile_h in range(1, h + 1):
         if h % tile_h:
             continue
-        f1_bytes = tile_h * w * c * 4
-        f2_bytes = (tile_h + 2 * MAX_DISP) * (w + 2 * MAX_DISP) * c * 4
+        f1_bytes = tile_h * w * c * itemsize
+        f2_bytes = ((tile_h + 2 * MAX_DISP) * (w + 2 * MAX_DISP) * c
+                    * itemsize)
         if f1_bytes + f2_bytes <= budget:
             best = tile_h
     return best
@@ -62,13 +69,17 @@ def pallas_correlation7x7(f1, f2, stride: int = 1, interpret: bool = False):
     out = corr1(f1[::2, ::2], pad(f2, 6)[::2, ::2])."""
     h, w, c = f1.shape
     pad = MAX_DISP * stride
-    f1 = f1.astype(jnp.float32)
-    f2p = jnp.pad(f2.astype(jnp.float32), ((pad, pad), (pad, pad), (0, 0)))
+    # bf16 inputs stay bf16 in HBM/VMEM (half the band DMA — the CNN's
+    # feature dtype); everything else stages f32. The kernel computes in
+    # f32 either way, so this changes bytes moved, not values.
+    stage = jnp.bfloat16 if f1.dtype == jnp.bfloat16 else jnp.float32
+    f1 = f1.astype(stage)
+    f2p = jnp.pad(f2.astype(stage), ((pad, pad), (pad, pad), (0, 0)))
     if stride > 1:
         f1 = f1[::stride, ::stride]
         f2p = f2p[::stride, ::stride]
     oh, ow = f1.shape[:2]
-    tile_h = _pick_tile_h(oh, ow, c)
+    tile_h = _pick_tile_h(oh, ow, c, jnp.dtype(stage).itemsize)
     return pl.pallas_call(
         _kernel,
         grid=(oh // tile_h,),
