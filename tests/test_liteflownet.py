@@ -260,3 +260,65 @@ class TestModelIntegration:
                 model.default_frame_numbers(i))
             outs.append(np.asarray(rgb))
         np.testing.assert_array_equal(np.asarray(rgbs), np.stack(outs))
+
+
+class TestFusedRegularizationApply:
+    """The fused shift-multiply-accumulate apply must equal the 1x1-conv
+    formulation it replaces (same scalex/scaley weights, identical param
+    tree), across the two unfold sizes (7 at levels 2-4, 3 at levels 5-6)
+    and the separable-vs-square dist-conv branches."""
+
+    @pytest.mark.parametrize("lvl,ch", [(2, 32), (5, 128)])
+    def test_matches_conv_path(self, lvl, ch):
+        from transflow_tpu.flow.estimators.liteflownet import Regularization
+        rng = np.random.default_rng(11)
+        h, w = 24, 40
+        img1 = jnp.asarray(rng.random((h, w, 3), np.float32))
+        img2 = jnp.asarray(rng.random((h, w, 3), np.float32))
+        feat = jnp.asarray(rng.standard_normal((h, w, ch)).astype(np.float32))
+        flow = jnp.asarray(
+            (rng.standard_normal((h, w, 2)) * 3.0).astype(np.float32))
+        conv_mod = Regularization(lvl, fused_apply=False)
+        variables = conv_mod.init(jax.random.key(0), img1, img2, feat, flow)
+        ref = np.asarray(conv_mod.apply(variables, img1, img2, feat, flow))
+        got = np.asarray(Regularization(lvl, fused_apply=True).apply(
+            variables, img1, img2, feat, flow))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    def test_param_tree_identical(self):
+        from transflow_tpu.flow.estimators.liteflownet import Regularization
+        rng = np.random.default_rng(1)
+        args = (jnp.asarray(rng.random((16, 16, 3), np.float32)),
+                jnp.asarray(rng.random((16, 16, 3), np.float32)),
+                jnp.asarray(rng.random((16, 16, 32), np.float32)),
+                jnp.asarray(rng.random((16, 16, 2), np.float32)))
+        tree_a = Regularization(2, fused_apply=True).init(
+            jax.random.key(0), *args)
+        tree_b = Regularization(2, fused_apply=False).init(
+            jax.random.key(0), *args)
+        paths_a = {jax.tree_util.keystr(p): leaf.shape for p, leaf in
+                   jax.tree_util.tree_flatten_with_path(tree_a)[0]}
+        paths_b = {jax.tree_util.keystr(p): leaf.shape for p, leaf in
+                   jax.tree_util.tree_flatten_with_path(tree_b)[0]}
+        assert paths_a == paths_b
+
+
+class TestPhaseUpsample:
+    """_upsample2x_phases must equal the grouped-deconv formulation it
+    replaces (torch-exactness of the deconv itself is pinned in
+    test_liteflownet_parity.py), including on the real tap counts (2 for
+    flow, 49 for the upsampled cost volume) and non-bilinear kernels."""
+
+    @pytest.mark.parametrize("h,w,c", [(8, 12, 2), (16, 10, 49), (6, 6, 7)])
+    def test_matches_groupdeconv(self, h, w, c):
+        from transflow_tpu.flow.estimators.liteflownet import (
+            _upsample2x_groupdeconv, _upsample2x_phases)
+        rng = np.random.default_rng(17)
+        x = jnp.asarray(rng.standard_normal((h, w, c)).astype(np.float32))
+        kernel = jnp.asarray(
+            rng.standard_normal((4, 4, c)).astype(np.float32))
+        ref = np.asarray(_upsample2x_groupdeconv(x, kernel))
+        got = np.asarray(_upsample2x_phases(x, kernel))
+        assert got.shape == ref.shape == (2 * h, 2 * w, c)
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)

@@ -218,6 +218,39 @@ def _upsample2x_groupdeconv(x, kernel):
     return out[0]
 
 
+def _upsample2x_phases(x, kernel):
+    """Exact phase decomposition of ``_upsample2x_groupdeconv``.
+
+    A stride-2 k=4 depthwise transpose conv touches each output pixel from
+    exactly 2x2 input taps, with the tap pair selected by the output pixel's
+    parity phase (r, s): kernel rows {r, r+2} x cols {s, s+2} applied to
+    input rows {a+r-1, a+r} x cols {b+s-1, b+s} for output (2a+r, 2b+s)
+    (derived from the lhs_dilation=2 / pad=2 XLA form). That makes it 16
+    shift-multiply-accumulates on the half-res plane plus one interleave —
+    pure VPU work XLA fuses fully, instead of a feature_group_count=C
+    dilated conv whose 1-channel groups defeat MXU tiling. Bit-identical
+    math up to f32 summation order (tested against the deconv)."""
+    c = x.shape[-1]
+    h, w = x.shape[0], x.shape[1]
+    x = x.astype(jnp.float32)
+    rhs = kernel[::-1, ::-1, :].astype(jnp.float32)  # flip: conv == convT
+    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
+    rows = []
+    for r in (0, 1):
+        cols = []
+        for s in (0, 1):
+            acc = None
+            for ki, di in ((r, r - 1), (r + 2, r)):
+                for kj, dj in ((s, s - 1), (s + 2, s)):
+                    term = rhs[ki, kj] * xp[di + 1:di + 1 + h,
+                                            dj + 1:dj + 1 + w]
+                    acc = term if acc is None else acc + term
+            cols.append(acc)
+        rows.append(jnp.stack(cols, axis=2))       # (h, w, 2s, c)
+    out = jnp.stack(rows, axis=1)                  # (h, 2r, w, 2s, c)
+    return out.reshape(2 * h, 2 * w, c)
+
+
 def _unfold(plane, size: int):
     """(H, W) -> (H, W, size*size) patch extraction with zero padding."""
     pad = (size - 1) // 2
@@ -263,7 +296,7 @@ class Matching(nn.Module):
         if flow is not None:
             up_kernel = self.param(
                 "upflow_kernel", _bilinear_deconv_init, (4, 4, 2))
-            flow = _upsample2x_groupdeconv(flow, up_kernel)
+            flow = _upsample2x_phases(flow, up_kernel)
             feat2 = backwarp(feat2, flow * _FLT_BACKWARP[lvl],
                              bound=_warp_bound(lvl, self.warp_bound),
                              kernel=self.warp_kernel)
@@ -275,7 +308,7 @@ class Matching(nn.Module):
                                          kernel=self.corr_kernel))
             upcorr_kernel = self.param(
                 "upcorr_kernel", _bilinear_deconv_init, (4, 4, 49))
-            corr = _upsample2x_groupdeconv(corr, upcorr_kernel)
+            corr = _upsample2x_phases(corr, upcorr_kernel)
         x = _leaky(_conv(128, 3, name="main0")(corr))
         x = _leaky(_conv(64, 3, name="main1")(x))
         x = _leaky(_conv(32, 3, name="main2")(x))
@@ -307,11 +340,38 @@ class Subpixel(nn.Module):
         return flow + delta
 
 
+class _TapWeights(nn.Module):
+    """Raw parameters of a 1x1 conv (``taps`` -> 1), for the fused
+    regularization apply. The param tree (kernel (1,1,taps,1) + bias (1,))
+    is byte-identical to the ``nn.Conv`` it replaces, so
+    ``convert_torch_state``'s scalex/scaley mapping and existing
+    checkpoints/goldens are unaffected."""
+    taps: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, self.taps, 1), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (1,), jnp.float32)
+        return kernel[0, 0, :, 0], bias[0]
+
+
 class Regularization(nn.Module):
     """Feature-driven local flow regularization.
 
-    Parity: liteflownet.py:533-579 (distance-weighted softmax filtering)."""
+    Parity: liteflownet.py:533-579 (distance-weighted softmax filtering).
+
+    ``fused_apply`` (default): the distance-weighted tap sum
+    ``scale = conv1x1(dist * unfold(flow))`` is computed as a fused
+    shift-multiply-accumulate loop instead — mathematically identical
+    (same weights, f32 accumulation), but it never materializes the two
+    (H, W, taps) unfold tensors or their products with ``dist`` that the
+    1x1-conv formulation forces (conv operands are library-call inputs on
+    TPU, so XLA cannot fuse their producers): ~600 MB -> ~200 MB of HBM
+    traffic per frame at level 2 (544x960, 49 taps). ``False`` restores
+    the conv formulation for A/B timing."""
     level: int
+    fused_apply: bool = True
 
     @nn.compact
     def __call__(self, img1, img2, feat1, flow):
@@ -344,10 +404,29 @@ class Regularization(nn.Module):
         dist = -jnp.square(dist)
         dist = jnp.exp(dist - jnp.max(dist, axis=-1, keepdims=True))
         divisor = 1.0 / jnp.sum(dist, axis=-1, keepdims=True)
-        fx = _unfold(flow[..., 0], size)
-        fy = _unfold(flow[..., 1], size)
-        scale_x = _conv(1, 1, pad=0, name="scalex")(dist * fx)
-        scale_y = _conv(1, 1, pad=0, name="scaley")(dist * fy)
+        if self.fused_apply:
+            wx, bx = _TapWeights(size * size, name="scalex")()
+            wy, by = _TapWeights(size * size, name="scaley")()
+            pad = (size - 1) // 2
+            h, w = flow.shape[0], flow.shape[1]
+            px = jnp.pad(flow[..., 0], pad)
+            py = jnp.pad(flow[..., 1], pad)
+            acc_x = jnp.zeros((h, w), jnp.float32)
+            acc_y = jnp.zeros((h, w), jnp.float32)
+            k = 0
+            for dy in range(size):
+                for dx in range(size):
+                    d = dist[..., k]
+                    acc_x = acc_x + (wx[k] * d) * px[dy:dy + h, dx:dx + w]
+                    acc_y = acc_y + (wy[k] * d) * py[dy:dy + h, dx:dx + w]
+                    k += 1
+            scale_x = (acc_x + bx)[..., None]
+            scale_y = (acc_y + by)[..., None]
+        else:
+            fx = _unfold(flow[..., 0], size)
+            fy = _unfold(flow[..., 1], size)
+            scale_x = _conv(1, 1, pad=0, name="scalex")(dist * fx)
+            scale_y = _conv(1, 1, pad=0, name="scaley")(dist * fy)
         return jnp.concatenate([scale_x * divisor, scale_y * divisor],
                                axis=-1)
 
