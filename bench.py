@@ -423,20 +423,41 @@ class _Watchdog:
         self._threading = threading
         self.deadline = float(
             os.environ.get("TRANSFLOW_BENCH_DEADLINE", "2400"))
+        # Absolute cap from process start. The per-phase timer alone is
+        # unbounded: in the quantized sick regime every ~296 s chunk
+        # completes, so phases keep "progressing" and an external kill
+        # (driver timeout) can land before any record is printed —
+        # observed: a 90 min --e2e run through the poll-cycle regime died
+        # to its outer timeout with EMPTY stdout. A record must always
+        # beat the kill.
+        self.total_deadline = float(
+            os.environ.get("TRANSFLOW_BENCH_TOTAL_DEADLINE", "3300"))
         self.phase = "startup"
         self._timer = None
+        self._total_timer = self._threading.Timer(
+            self.total_deadline, self._fire,
+            kwargs={"reason": f"total bench budget "
+                    f"({self.total_deadline:.0f}s) exhausted without a "
+                    "completed measurement"})
+        self._total_timer.daemon = True
+        self._total_timer.start()
         self.rearm("startup")
 
-    def _fire(self):
+    def _fire(self, reason: str | None = None):
+        if reason is None:
+            reason = (f"device unresponsive for {self.deadline:.0f}s with "
+                      "no progress (tunnel down?)")
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".bench_last_healthy.json")
         print(json.dumps({
             "metric": "1080p_e2e_fps_flow_warp_composite",
             "value": 0,
             "unit": "frames/sec",
             "vs_baseline": 0,
             "healthy": False,
-            "error": f"device unresponsive for {self.deadline:.0f}s with no "
-                     f"progress (phase: {self.phase}; tunnel down?); no "
-                     "measurement possible",
+            "error": f"{reason} (phase: {self.phase}); no measurement "
+                     "possible",
+            "last_healthy_record": load_last_healthy(sidecar),
         }), flush=True)
         os._exit(0)
 
@@ -452,6 +473,7 @@ class _Watchdog:
     def cancel(self):
         if self._timer is not None:
             self._timer.cancel()
+        self._total_timer.cancel()
 
 
 def bench_e2e_cli(frames: int = 96) -> dict:
@@ -540,8 +562,20 @@ def main():
             pass
     e2e = {}
     if "--e2e" in sys.argv:
-        watchdog.rearm("e2e-cli")
-        e2e = bench_e2e_cli()
+        # Gate e2e on tunnel health first: in the quantized sick regime the
+        # CLI's chunked dispatches ride the ~296 s poll cycle and the two
+        # configs can eat an hour producing garbage (observed) — a sick
+        # window yields a skip note, not a fake disk-to-disk figure.
+        watchdog.rearm("e2e-probe")
+        import jax as _jax
+        probe_rtt = (_wait_for_healthy_tunnel(max_wait_s=120.0)
+                     if _jax.default_backend() != "cpu" else 0.0)
+        if probe_rtt < 0.25:
+            watchdog.rearm("e2e-cli")
+            e2e = bench_e2e_cli()
+        else:
+            e2e = {"e2e_skipped": f"tunnel sick at e2e time (probe RTT "
+                                  f"{probe_rtt:.2f}s >= 0.25s)"}
     watchdog.rearm("tunnel-wait")
     tpu = bench_tpu(watchdog)
     if not tpu["healthy"] and os.environ.get(

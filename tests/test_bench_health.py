@@ -73,3 +73,30 @@ def test_last_healthy_sidecar_round_trip(tmp_path):
     with open(path, "w") as file:
         file.write("{corrupt")
     assert load_last_healthy(path) is None
+
+
+def test_total_deadline_emits_record_before_external_kill(tmp_path):
+    """The absolute cap must print a parseable refusal record even while
+    per-phase rearms keep the no-progress timer from firing (the quantized
+    regime 'progresses' through every phase — an outer kill must never
+    find empty stdout)."""
+    import json
+    import subprocess
+    code = (
+        "import os, time\n"
+        "os.environ['TRANSFLOW_BENCH_TOTAL_DEADLINE'] = '0.3'\n"
+        "import sys; sys.path.insert(0, %r)\n"
+        "from bench import _Watchdog\n"
+        "w = _Watchdog()\n"
+        "for i in range(100):\n"
+        "    w.rearm(f'phase{i}')\n"  # constant progress: per-phase never fires
+        "    time.sleep(0.05)\n"
+        "print('UNREACHABLE')\n" % os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=120).stdout.strip().splitlines()
+    assert out, "no record emitted"
+    record = json.loads(out[-1])
+    assert record["healthy"] is False
+    assert "total bench budget" in record["error"]
+    assert out[-1] != "UNREACHABLE"
