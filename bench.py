@@ -354,7 +354,21 @@ def bench_tpu(watchdog=None) -> dict:
     unhealthy_reasons = health_verdict(tunnel_rtt, chunk_rtt, fps,
                                        ms_per_frame, est_ms, comp_ms)
 
+    # CNN estimator figure, only when the regime just proved healthy (a
+    # quantized window would print a garbage LFN number): an n-deep
+    # data-dependent chain in ONE program with a value readback — the only
+    # honest sub-50 ms methodology through this tunnel (BASELINE.md)
+    lfn_extra = {}
+    if not unhealthy_reasons and os.environ.get(
+            "TRANSFLOW_BENCH_LITEFLOWNET", "1") != "0":
+        progress("stage-liteflownet")
+        try:
+            lfn_extra = _bench_liteflownet()
+        except Exception as exc:  # never let the extra stage kill a record
+            lfn_extra = {"liteflownet_error": repr(exc)[:200]}
+
     return {
+        **lfn_extra,
         "fps": fps,
         "best_fps": best_fps,
         "tunnel_rtt_s": round(tunnel_rtt, 3),
@@ -369,6 +383,41 @@ def bench_tpu(watchdog=None) -> dict:
         "healthy": not unhealthy_reasons,
         "unhealthy_reasons": unhealthy_reasons,
     }
+
+
+def _bench_liteflownet(n_chain: int = 8, height: int = 1088,
+                       width: int = 1920) -> dict:
+    """LiteFlowNet 1088p ms/frame via an n-deep data-dependent chain
+    (each step's output perturbs the next step's inputs; one value
+    readback). Random weights — identical compute graph to the published
+    checkpoint, and the bench must not depend on a weights download."""
+    import jax
+    import jax.numpy as jnp
+    from transflow_tpu.flow.estimators import liteflownet as lfn
+    H, W = height, width
+    rng = np.random.default_rng(2)
+    variables = lfn.get_weights(allow_random=True)
+    model = lfn.LiteFlowNet()
+    i1 = jnp.asarray(rng.random((H, W, 3), np.float32))
+    i2 = jnp.asarray(rng.random((H, W, 3), np.float32))
+
+    def chained(s0, a, b, v):
+        def step(s, _):
+            out = model.apply(v, a + s * 1e-6, b + s * 1e-6)
+            return jnp.mean(out).astype(jnp.float32) * 1e-6, None
+        s, _ = jax.lax.scan(step, s0, None, length=n_chain)
+        return s
+
+    jitted = jax.jit(chained)
+    times = []
+    for i in range(3):
+        start = time.perf_counter()
+        float(jitted(jnp.float32(1e-3 * (i + 1)), i1, i2, variables))
+        if i > 0:  # first sample carries the compile
+            times.append(time.perf_counter() - start)
+    ms = 1000.0 * float(np.median(times)) / n_chain
+    return {"liteflownet_1088p_ms_per_frame": round(ms, 1),
+            "liteflownet_1088p_fps": round(1000.0 / ms, 2)}
 
 
 def bench_cpu_reference() -> float:
@@ -630,6 +679,7 @@ def main():
         "hbm_io_gbps": tpu["hbm_io_gbps"],
         "vmem_resident_state_mb": tpu["vmem_resident_state_mb"],
         "cpu_reference_fps": round(cpu_fps, 3),
+        **{k: v for k, v in tpu.items() if k.startswith("liteflownet")},
         **e2e,
     }
     try:  # persist for future refusal records' last_healthy_record field

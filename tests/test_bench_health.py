@@ -100,3 +100,16 @@ def test_total_deadline_emits_record_before_external_kill(tmp_path):
     assert record["healthy"] is False
     assert "total bench budget" in record["error"]
     assert out[-1] != "UNREACHABLE"
+
+
+def test_liteflownet_stage_smoke(monkeypatch):
+    """The healthy-record LFN stage must produce finite numbers (tiny
+    shapes on CPU; the real run uses 1088p on device)."""
+    import numpy as np
+    monkeypatch.setenv("TRANSFLOW_LITEFLOWNET_RANDOM", "1")
+    from bench import _bench_liteflownet
+    out = _bench_liteflownet(n_chain=2, height=64, width=96)
+    assert set(out) == {"liteflownet_1088p_ms_per_frame",
+                        "liteflownet_1088p_fps"}
+    assert out["liteflownet_1088p_ms_per_frame"] > 0
+    assert np.isfinite(out["liteflownet_1088p_fps"])

@@ -111,3 +111,52 @@ def test_sharded_multi_layer_all_classes():
         _, rgbs = run(state, grays, pixmaps_sharded, jnp.float32(0.0),
                       keys_sharded)
     np.testing.assert_array_equal(np.asarray(rgbs), expected)
+
+
+def test_sharded_liteflownet_compiles_and_matches(monkeypatch):
+    """The CNN estimator under the stream x space mesh: every op in the
+    pyramid (convs, phase upsamplers, fused regularization shifts, XLA
+    correlation — the mesh-safe kernel choice, see
+    engine.mesh_safe_estimator_kwargs) must partition under GSPMD with
+    halo exchanges at shard boundaries. Random weights give near-zero
+    flow, so the value here is compile+execute coverage plus closeness:
+    spatial means inside Regularization reduce across shards, so
+    bit-exactness is not guaranteed — assert the rendered frames agree on
+    essentially every pixel instead."""
+    monkeypatch.setenv("TRANSFLOW_LITEFLOWNET_RANDOM", "1")
+    h, w = 32, 128
+    model = FlowTransferModel(
+        h, w, [LayerConfig(0)],
+        {0: [(3, np.ones((h, w), bool))]},
+        method="liteflownet",
+        estimator_kwargs=dict(corr_kernel="xla", warp_bound=0),
+        direction=Direction.BACKWARD)
+    rng = np.random.default_rng(3)
+    n_streams, chunk = 2, 2
+    grays_np = rng.integers(0, 256, (n_streams, chunk, h, w), dtype=np.uint8)
+    first = rng.integers(0, 256, (n_streams, h, w), dtype=np.uint8)
+    pixmaps = model.default_pixmaps()
+    keys = jax.random.split(jax.random.key(5), n_streams)
+
+    expected = []
+    for s in range(n_streams):
+        state = model.init_state(first[s])
+        _, rgbs = model.jit_scan(state, jnp.asarray(grays_np[s]), pixmaps,
+                                 jnp.float32(0.0), keys[s])
+        expected.append(np.asarray(rgbs))
+    expected = np.stack(expected)
+
+    mesh = make_mesh(8)
+    state = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[model.init_state(first[s]) for s in range(n_streams)])
+    state, grays, pixmaps_sharded, keys_sharded = shard_model_inputs(
+        mesh, state, jnp.asarray(grays_np), pixmaps, keys)
+    run = sharded_scan(model, mesh)
+    with mesh:
+        _, rgbs = run(state, grays, pixmaps_sharded, jnp.float32(0.0),
+                      keys_sharded)
+    got = np.asarray(rgbs)
+    assert got.shape == expected.shape
+    match = (got == expected).mean()
+    assert match > 0.999, f"sharded CNN output diverged: match={match:.5f}"
