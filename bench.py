@@ -354,21 +354,7 @@ def bench_tpu(watchdog=None) -> dict:
     unhealthy_reasons = health_verdict(tunnel_rtt, chunk_rtt, fps,
                                        ms_per_frame, est_ms, comp_ms)
 
-    # CNN estimator figure, only when the regime just proved healthy (a
-    # quantized window would print a garbage LFN number): an n-deep
-    # data-dependent chain in ONE program with a value readback — the only
-    # honest sub-50 ms methodology through this tunnel (BASELINE.md)
-    lfn_extra = {}
-    if not unhealthy_reasons and os.environ.get(
-            "TRANSFLOW_BENCH_LITEFLOWNET", "1") != "0":
-        progress("stage-liteflownet")
-        try:
-            lfn_extra = _bench_liteflownet()
-        except Exception as exc:  # never let the extra stage kill a record
-            lfn_extra = {"liteflownet_error": repr(exc)[:200]}
-
     return {
-        **lfn_extra,
         "fps": fps,
         "best_fps": best_fps,
         "tunnel_rtt_s": round(tunnel_rtt, 3),
@@ -483,6 +469,11 @@ class _Watchdog:
             os.environ.get("TRANSFLOW_BENCH_TOTAL_DEADLINE", "3300"))
         self.phase = "startup"
         self._timer = None
+        self._start = time.monotonic()
+        # A completed measurement stashed here is printed VERBATIM (plus an
+        # extras_truncated note) if a deadline fires later — optional
+        # stages and retries must never erase a record that already exists.
+        self.pending_record = None
         self._total_timer = self._threading.Timer(
             self.total_deadline, self._fire,
             kwargs={"reason": f"total bench budget "
@@ -492,10 +483,21 @@ class _Watchdog:
         self._total_timer.start()
         self.rearm("startup")
 
+    def remaining_s(self) -> float:
+        """Seconds left before the absolute total deadline."""
+        return self.total_deadline - (time.monotonic() - self._start)
+
     def _fire(self, reason: str | None = None):
         if reason is None:
             reason = (f"device unresponsive for {self.deadline:.0f}s with "
                       "no progress (tunnel down?)")
+        if self.pending_record is not None:
+            record = dict(self.pending_record)
+            record["extras_truncated"] = (
+                f"{reason} during phase {self.phase}; the completed "
+                "measurement above is intact, optional stages were cut")
+            print(json.dumps(record), flush=True)
+            os._exit(0)
         sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".bench_last_healthy.json")
         print(json.dumps({
@@ -609,43 +611,16 @@ def main():
                            "width": WIDTH, "timestamp": time.time()}, file)
         except OSError:
             pass
-    e2e = {}
-    if "--e2e" in sys.argv:
-        # Gate e2e on tunnel health first: in the quantized sick regime the
-        # CLI's chunked dispatches ride the ~296 s poll cycle and the two
-        # configs can eat an hour producing garbage (observed) — a sick
-        # window yields a skip note, not a fake disk-to-disk figure.
-        watchdog.rearm("e2e-probe")
-        import jax as _jax
-        probe_rtt = (_wait_for_healthy_tunnel(max_wait_s=120.0)
-                     if _jax.default_backend() != "cpu" else 0.0)
-        if probe_rtt < 0.25:
-            watchdog.rearm("e2e-cli")
-            e2e = bench_e2e_cli()
-        else:
-            e2e = {"e2e_skipped": f"tunnel sick at e2e time (probe RTT "
-                                  f"{probe_rtt:.2f}s >= 0.25s)"}
-    watchdog.rearm("tunnel-wait")
-    tpu = bench_tpu(watchdog)
-    if not tpu["healthy"] and os.environ.get(
-            "TRANSFLOW_BENCH_RETRY", "1") != "0":
-        # one more attempt after a cool-down: sick regimes have been
-        # observed clearing within minutes (and persisting for hours —
-        # in which case the refusal record below is the honest output)
-        watchdog.rearm("retry-cooldown")
-        time.sleep(120.0)
-        tpu = bench_tpu(watchdog)
-    watchdog.cancel()
     healthy_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".bench_last_healthy.json")
-    if not tpu["healthy"]:
+
+    def refusal_record(tpu):
         # REFUSAL record: a sick-regime number is the infrastructure, not
         # the framework — never print it as a bare plausible-looking value.
         # Attach the most recent HEALTHY capture (clearly labelled with its
         # age) so a sick window at record time does not erase the evidence
         # a healthy run produced: same binary, same methodology.
-        last_healthy = load_last_healthy(healthy_path)
-        print(json.dumps({
+        out = {
             "metric": "1080p_e2e_fps_flow_warp_composite",
             "value": 0,
             "unit": "frames/sec",
@@ -660,9 +635,40 @@ def main():
             "cpu_reference_fps": round(cpu_fps, 3),
             "healthy_reference": "28k-101k fps on a healthy tunnel "
                                  "(BASELINE.md, same binary)",
-            "last_healthy_record": last_healthy,
-            **e2e,
-        }))
+            "last_healthy_record": load_last_healthy(healthy_path),
+        }
+        if "--e2e" in sys.argv:
+            out["e2e_skipped"] = ("flagship verdict unhealthy — e2e "
+                                  "would measure the sick tunnel, not "
+                                  "the CLI")
+        return out
+
+    def write_sidecar(record):
+        try:  # persisted for future refusal records' last_healthy_record
+            with open(healthy_path, "w") as file:
+                json.dump({**record, "timestamp": time.time()}, file)
+        except OSError:
+            pass
+
+    watchdog.rearm("tunnel-wait")
+    tpu = bench_tpu(watchdog)
+    if not tpu["healthy"]:
+        # stash the diagnostic refusal NOW: if the retry stalls and a
+        # deadline fires, the first attempt's full diagnostics still print
+        watchdog.pending_record = refusal_record(tpu)
+        if (os.environ.get("TRANSFLOW_BENCH_RETRY", "1") != "0"
+                and watchdog.remaining_s() > 1500.0):
+            # one more attempt after a cool-down: sick regimes have been
+            # observed clearing within minutes (and persisting for hours —
+            # in which case the refusal record is the honest output). The
+            # budget gate keeps a slow first attempt from launching a
+            # retry the total deadline is guaranteed to kill mid-flight.
+            watchdog.rearm("retry-cooldown")
+            time.sleep(120.0)
+            tpu = bench_tpu(watchdog)
+    if not tpu["healthy"]:
+        watchdog.cancel()
+        print(json.dumps(refusal_record(tpu)))
         return
     record = {
         "metric": "1080p_e2e_fps_flow_warp_composite",
@@ -679,14 +685,32 @@ def main():
         "hbm_io_gbps": tpu["hbm_io_gbps"],
         "vmem_resident_state_mb": tpu["vmem_resident_state_mb"],
         "cpu_reference_fps": round(cpu_fps, 3),
-        **{k: v for k, v in tpu.items() if k.startswith("liteflownet")},
-        **e2e,
     }
-    try:  # persist for future refusal records' last_healthy_record field
-        with open(healthy_path, "w") as file:
-            json.dump({**record, "timestamp": time.time()}, file)
-    except OSError:
-        pass
+    # The flagship measurement is DONE: persist + stash it before any
+    # optional stage runs, so a stall in the extras (fresh sick window,
+    # long compile) degrades to extras_truncated — never to a refusal.
+    write_sidecar(record)
+    watchdog.pending_record = record
+    if os.environ.get("TRANSFLOW_BENCH_LITEFLOWNET", "1") != "0":
+        # CNN figure via the chained methodology — only after the regime
+        # just proved healthy (a quantized window would print garbage)
+        watchdog.rearm("stage-liteflownet")
+        try:
+            record.update(_bench_liteflownet())
+        except Exception as exc:
+            record["liteflownet_error"] = repr(exc)[:200]
+    if "--e2e" in sys.argv:
+        # e2e AFTER the health proof: its verdict is the realistic heavy
+        # gate a small probe cannot provide (BASELINE.md: probe-healthy /
+        # heavy-quantized regimes coexist), and in a sick regime its
+        # chunked dispatches would eat the whole budget riding the cycle
+        watchdog.rearm("e2e-cli")
+        try:
+            record.update(bench_e2e_cli())
+        except Exception as exc:
+            record["e2e_error"] = repr(exc)[:200]
+    write_sidecar(record)
+    watchdog.cancel()
     print(json.dumps(record))
 
 

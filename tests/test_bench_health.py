@@ -113,3 +113,38 @@ def test_liteflownet_stage_smoke(monkeypatch):
                         "liteflownet_1088p_fps"}
     assert out["liteflownet_1088p_ms_per_frame"] > 0
     assert np.isfinite(out["liteflownet_1088p_fps"])
+
+
+def test_pending_record_survives_deadline(tmp_path):
+    """Once a measurement is stashed as pending, a later deadline must
+    print THAT record (plus extras_truncated) — never a refusal that
+    discards completed work."""
+    import json
+    import subprocess
+    code = (
+        "import os, time\n"
+        "os.environ['TRANSFLOW_BENCH_TOTAL_DEADLINE'] = '0.3'\n"
+        "import sys; sys.path.insert(0, %r)\n"
+        "from bench import _Watchdog\n"
+        "w = _Watchdog()\n"
+        "w.pending_record = {'healthy': True, 'value': 123.0}\n"
+        "w.rearm('stage-liteflownet')\n"
+        "time.sleep(5)\n"
+        "print('UNREACHABLE')\n" % os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=120).stdout.strip().splitlines()
+    assert out and out[-1] != "UNREACHABLE"
+    record = json.loads(out[-1])
+    assert record["healthy"] is True
+    assert record["value"] == 123.0
+    assert "stage-liteflownet" in record["extras_truncated"]
+
+
+def test_watchdog_remaining_budget():
+    import bench as bench_mod
+    w = bench_mod._Watchdog()
+    try:
+        assert 0 < w.remaining_s() <= w.total_deadline
+    finally:
+        w.cancel()

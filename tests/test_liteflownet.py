@@ -322,3 +322,28 @@ class TestPhaseUpsample:
         got = np.asarray(_upsample2x_phases(x, kernel))
         assert got.shape == ref.shape == (2 * h, 2 * w, c)
         np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+class TestPallasCorrelationMixedDtype:
+    def test_f32_operand_not_quantized(self):
+        """bf16 f1 x f32 f2 (the real Matching case: bf16 features vs the
+        f32 backwarped map) — the f2 values must enter the kernel exactly,
+        not rounded to bf16."""
+        from transflow_tpu.ops.correlation import correlation7x7
+        from transflow_tpu.ops.pallas_correlation import pallas_correlation7x7
+        rng = np.random.default_rng(7)
+        f1 = jnp.asarray(rng.normal(size=(16, 24, 16))
+                         .astype(np.float32)).astype(jnp.bfloat16)
+        # perturbations far below bf16 resolution but far above f32 noise
+        f2 = jnp.asarray((rng.normal(size=(16, 24, 16))
+                          + rng.uniform(1e-4, 5e-4, (16, 24, 16)))
+                         .astype(np.float32))
+        ref = np.asarray(correlation7x7(f1.astype(jnp.float32), f2, stride=1))
+        got = np.asarray(pallas_correlation7x7(f1, f2, stride=1,
+                                               interpret=True))
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+        # sanity: a bf16-quantized f2 WOULD show up at this tolerance
+        bad = np.asarray(correlation7x7(
+            f1.astype(jnp.float32), f2.astype(jnp.bfloat16)
+            .astype(jnp.float32), stride=1))
+        assert np.abs(bad - ref).max() > 1e-5

@@ -363,13 +363,16 @@ class Regularization(nn.Module):
 
     ``fused_apply`` (default): the distance-weighted tap sum
     ``scale = conv1x1(dist * unfold(flow))`` is computed as a fused
-    shift-multiply-accumulate loop instead — mathematically identical
-    (same weights, f32 accumulation), but it never materializes the two
-    (H, W, taps) unfold tensors or their products with ``dist`` that the
-    1x1-conv formulation forces (conv operands are library-call inputs on
-    TPU, so XLA cannot fuse their producers): ~600 MB -> ~200 MB of HBM
-    traffic per frame at level 2 (544x960, 49 taps). ``False`` restores
-    the conv formulation for A/B timing."""
+    shift-multiply-accumulate loop instead — same weights, and it never
+    materializes the two (H, W, taps) unfold tensors or their products
+    with ``dist`` that the 1x1-conv formulation forces (conv operands are
+    library-call inputs on TPU, so XLA cannot fuse their producers):
+    ~600 MB -> ~200 MB of HBM traffic per frame at level 2 (544x960, 49
+    taps). Numerics: identical on CPU (both paths f32; pinned by tests).
+    On TPU the replaced ``nn.Conv`` computed in bf16 (_compute_dtype), so
+    the fused f32 accumulation is slightly MORE accurate there, and an
+    A/B timing via ``fused_apply=False`` compares f32 fused work against
+    bf16 conv work — attribute deltas accordingly."""
     level: int
     fused_apply: bool = True
 

@@ -45,17 +45,25 @@ def _kernel(f1_ref, f2_ref, out_ref):
                 jnp.sum(f1 * window.astype(jnp.float32), axis=-1) * inv_c)
 
 
-def _pick_tile_h(h: int, w: int, c: int, itemsize: int = 4) -> int:
-    """Largest row band that divides h and fits the VMEM budget."""
-    budget = 6 << 20  # bytes for f1 band + haloed f2 band
+def _pick_tile_h(h: int, w: int, c: int, itemsize1: int = 4,
+                 itemsize2: int = 4) -> int:
+    """Largest row band that divides h and fits the VMEM budget.
+
+    The budget covers ALL per-step blocks — f1 band, haloed f2 band, and
+    the f32 (tile_h, w, 49) output band. The output term matters: it is
+    ~3x the f1 band at level 2 (49 x 4 B/px vs 32 x 2), so a budget that
+    ignored it would let bf16 staging double tile_h and nearly double the
+    true VMEM residency vs the configuration measured on device."""
+    budget = 10 << 20
     best = 1
     for tile_h in range(1, h + 1):
         if h % tile_h:
             continue
-        f1_bytes = tile_h * w * c * itemsize
+        f1_bytes = tile_h * w * c * itemsize1
         f2_bytes = ((tile_h + 2 * MAX_DISP) * (w + 2 * MAX_DISP) * c
-                    * itemsize)
-        if f1_bytes + f2_bytes <= budget:
+                    * itemsize2)
+        out_bytes = tile_h * w * WINDOW * WINDOW * 4
+        if f1_bytes + f2_bytes + out_bytes <= budget:
             best = tile_h
     return best
 
@@ -69,17 +77,22 @@ def pallas_correlation7x7(f1, f2, stride: int = 1, interpret: bool = False):
     out = corr1(f1[::2, ::2], pad(f2, 6)[::2, ::2])."""
     h, w, c = f1.shape
     pad = MAX_DISP * stride
-    # bf16 inputs stay bf16 in HBM/VMEM (half the band DMA — the CNN's
-    # feature dtype); everything else stages f32. The kernel computes in
-    # f32 either way, so this changes bytes moved, not values.
-    stage = jnp.bfloat16 if f1.dtype == jnp.bfloat16 else jnp.float32
-    f1 = f1.astype(stage)
-    f2p = jnp.pad(f2.astype(stage), ((pad, pad), (pad, pad), (0, 0)))
+    # Each input stages in ITS OWN dtype: a bf16 operand stays bf16 in
+    # HBM/VMEM (half that band's DMA — the CNN's feature dtype) while an
+    # f32 operand stays f32. Keying both off f1 would silently quantize
+    # the common mixed case — feat1 is bf16 but the backwarped feat2
+    # arrives f32 (bilinear weights are f32) — and bf16->f32 is the only
+    # exact direction. The kernel computes in f32 either way.
+    stage1 = jnp.bfloat16 if f1.dtype == jnp.bfloat16 else jnp.float32
+    stage2 = jnp.bfloat16 if f2.dtype == jnp.bfloat16 else jnp.float32
+    f1 = f1.astype(stage1)
+    f2p = jnp.pad(f2.astype(stage2), ((pad, pad), (pad, pad), (0, 0)))
     if stride > 1:
         f1 = f1[::stride, ::stride]
         f2p = f2p[::stride, ::stride]
     oh, ow = f1.shape[:2]
-    tile_h = _pick_tile_h(oh, ow, c, jnp.dtype(stage).itemsize)
+    tile_h = _pick_tile_h(oh, ow, c, jnp.dtype(stage1).itemsize,
+                          jnp.dtype(stage2).itemsize)
     return pl.pallas_call(
         _kernel,
         grid=(oh // tile_h,),
