@@ -324,6 +324,45 @@ class TestPhaseUpsample:
         np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
 
 
+class TestBatchedTrunk:
+    def test_batch2_features_match_separate_calls(self):
+        """The full net runs Features ONCE on a stacked (2, H, W, 3) batch.
+        Batch elements never mix, but XLA may retile the conv reduction for
+        the batched shape (observed on the multi-threaded CPU backend), so
+        agreement is at f32 rounding level, not bitwise."""
+        from transflow_tpu.flow.estimators.liteflownet import Features
+        rng = np.random.default_rng(11)
+        img1 = jnp.asarray(rng.standard_normal((64, 96, 3)).astype(np.float32))
+        img2 = jnp.asarray(rng.standard_normal((64, 96, 3)).astype(np.float32))
+        feat = Features()
+        fv = feat.init(jax.random.PRNGKey(0), img1)
+        sep1 = feat.apply(fv, img1)
+        sep2 = feat.apply(fv, img2)
+        both = feat.apply(fv, jnp.stack([img1, img2]))
+        for a, b, c in zip(sep1, sep2, both):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c[0]),
+                                       atol=1e-5, rtol=1e-4)
+            np.testing.assert_allclose(np.asarray(b), np.asarray(c[1]),
+                                       atol=1e-5, rtol=1e-4)
+
+    def test_channel_paired_resize_bitwise_equal(self):
+        """Image pyramids resize img1|img2 concatenated on channels; the
+        resize is per-channel so the pairing must be value-neutral."""
+        from transflow_tpu.ops.image import torch_bilinear_resize
+        rng = np.random.default_rng(12)
+        img1 = rng.standard_normal((64, 96, 3)).astype(np.float32)
+        img2 = rng.standard_normal((64, 96, 3)).astype(np.float32)
+        pair = torch_bilinear_resize(
+            jnp.concatenate([jnp.asarray(img1), jnp.asarray(img2)], -1),
+            32, 48)
+        np.testing.assert_array_equal(
+            np.asarray(pair[..., :3]),
+            np.asarray(torch_bilinear_resize(jnp.asarray(img1), 32, 48)))
+        np.testing.assert_array_equal(
+            np.asarray(pair[..., 3:]),
+            np.asarray(torch_bilinear_resize(jnp.asarray(img2), 32, 48)))
+
+
 class TestPallasCorrelationMixedDtype:
     def test_f32_operand_not_quantized(self):
         """bf16 f1 x f32 f2 (the real Matching case: bf16 features vs the

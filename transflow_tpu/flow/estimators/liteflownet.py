@@ -290,9 +290,11 @@ class Matching(nn.Module):
     def __call__(self, feat1, feat2, flow):
         lvl = self.level
         if lvl == 2:
-            feat_conv = _conv(64, 1, pad=0, name="feat0")  # shared weights
-            feat1 = _leaky(feat_conv(feat1))
-            feat2 = _leaky(feat_conv(feat2))
+            # shared weights; one batch-2 call (numerically equivalent,
+            # see LiteFlowNet.__call__'s trunk note)
+            both = _leaky(_conv(64, 1, pad=0, name="feat0")(
+                jnp.stack([feat1, feat2])))
+            feat1, feat2 = both[0], both[1]
         if flow is not None:
             up_kernel = self.param(
                 "upflow_kernel", _bilinear_deconv_init, (4, 4, 2))
@@ -326,9 +328,11 @@ class Subpixel(nn.Module):
     def __call__(self, feat1, feat2, flow):
         lvl = self.level
         if lvl == 2:
-            feat_conv = _conv(64, 1, pad=0, name="feat0")  # shared weights
-            feat1 = _leaky(feat_conv(feat1))
-            feat2 = _leaky(feat_conv(feat2))
+            # shared weights; one batch-2 call (numerically equivalent,
+            # see LiteFlowNet.__call__'s trunk note)
+            both = _leaky(_conv(64, 1, pad=0, name="feat0")(
+                jnp.stack([feat1, feat2])))
+            feat1, feat2 = both[0], both[1]
         warped = backwarp(feat2, flow * _FLT_BACKWARP[lvl],
                           bound=_warp_bound(lvl, self.warp_bound),
                           kernel=self.warp_kernel)
@@ -451,15 +455,22 @@ class LiteFlowNet(nn.Module):
     def __call__(self, img1, img2):
         img1 = img1 - jnp.asarray(_MEAN_ONE)
         img2 = img2 - jnp.asarray(_MEAN_TWO)
-        features = Features(name="features")
-        feats1 = features(img1)
-        feats2 = features(img2)
-        imgs1 = [img1]
-        imgs2 = [img2]
+        # One batch-2 trunk call instead of two batch-1 calls: batch
+        # elements never mix and the param tree is unchanged (kernel shapes
+        # don't see N), so this is numerically equivalent — to f32 rounding,
+        # not bitwise: XLA may retile the conv reduction for the batched
+        # shape. XLA emits half as many convolutions with twice the MXU rows.
+        feats = Features(name="features")(jnp.stack([img1, img2]))
+        feats1 = [f[0] for f in feats]
+        feats2 = [f[1] for f in feats]
+        # Image pyramids pair along channels for the same reason: resize
+        # treats channels independently, so (H, W, 6) halves the op count.
+        pair = [jnp.concatenate([img1, img2], axis=-1)]
         for lvl in range(1, 6):
             shape = feats1[lvl].shape
-            imgs1.append(bilinear_resize(imgs1[-1], shape[0], shape[1]))
-            imgs2.append(bilinear_resize(imgs2[-1], shape[0], shape[1]))
+            pair.append(bilinear_resize(pair[-1], shape[0], shape[1]))
+        imgs1 = [p[..., :3] for p in pair]
+        imgs2 = [p[..., 3:] for p in pair]
         flow = None
         for idx in (-1, -2, -3, -4, -5):
             lvl = _LEVELS[idx]
