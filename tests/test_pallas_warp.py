@@ -296,18 +296,21 @@ class TestReviewFixes:
         lfn.liteflownet(img, img, allow_random=True)
         assert calls and max(calls) == 8        # mxu now reached
 
-    def test_mesh_forces_xla_correlation(self):
+    def test_mesh_selects_sharded_pallas_correlation(self):
         from transflow_tpu.engine import mesh_safe_estimator_kwargs
         from transflow_tpu.flow.sources.cv import CvFlowConfig
+        from transflow_tpu.parallel.mesh import make_space_mesh
+        mesh = make_space_mesh(2)
         cfg = CvFlowConfig(method="liteflownet", lfn_warp_bound=12)
-        meshed = mesh_safe_estimator_kwargs(cfg, True)
-        assert meshed["corr_kernel"] == "xla"
+        meshed = mesh_safe_estimator_kwargs(cfg, mesh)
+        assert meshed["corr_kernel"] == "pallas_halo"
+        assert meshed["corr_mesh"] is mesh
         assert meshed["warp_bound"] == 0
-        plain = mesh_safe_estimator_kwargs(cfg, False)
+        plain = mesh_safe_estimator_kwargs(cfg, None)
         assert "corr_kernel" not in plain
         assert plain["warp_bound"] == 12
         fb = mesh_safe_estimator_kwargs(CvFlowConfig(method="farneback"),
-                                        True)
+                                        mesh)
         assert "corr_kernel" not in fb
 
     def test_correlation_kernel_override(self):

@@ -33,14 +33,14 @@ class SourceRuntime:
     one chip, H-sharded placement under a ('space',) mesh."""
 
     def __init__(self, source: FlowSource, estimator_step, put=None,
-                 params_put=None, mesh_sharded: bool = False):
+                 params_put=None, mesh=None):
         self.source = source
         self.estimator_step = estimator_step  # None for flow-yielding sources
         self.put = put if put is not None else jax.device_put
         # weight placement for rebuilt steps: under a mesh the params must
         # be replicated onto every device (same as Engine.__init__ does)
         self.params_put = params_put
-        self.mesh_sharded = mesh_sharded
+        self.mesh = mesh
         self.prev_gray = None
         self.prev_flow = None
         self.last_raw = None
@@ -56,7 +56,7 @@ class SourceRuntime:
         self._cfg_version = config.version
         self.estimator_step = make_estimator_step(
             config.method,
-            mesh_safe_estimator_kwargs(config, self.mesh_sharded),
+            mesh_safe_estimator_kwargs(config, self.mesh),
             self.source.direction)
         if self.params_put is not None and self.estimator_step.params != ():
             self.estimator_step.params = jax.tree.map(
@@ -94,25 +94,30 @@ class SourceRuntime:
         return raw
 
 
-def mesh_safe_estimator_kwargs(config, mesh_sharded: bool) -> dict:
-    """Estimator kwargs with mesh-incompatible options stripped.
+def mesh_safe_estimator_kwargs(config, mesh) -> dict:
+    """Estimator kwargs adjusted for GSPMD execution under ``mesh``.
 
-    The Pallas kernels (the bounded warp behind lfn_warp_bound, and the
-    correlation band kernel the TPU backend dispatches to by default) are
-    tpu_custom_calls with no SPMD partitioning rule, so they cannot trace
-    over GSPMD-sharded operands; under a mesh the exact gather path and
-    the XLA shift correlation are used instead."""
+    Pallas kernels are tpu_custom_calls with no SPMD partitioning rule,
+    so they cannot trace over GSPMD-sharded operands. The bounded warp
+    behind lfn_warp_bound is therefore stripped (exact gather path). The
+    correlation band kernel — the one the TPU backend dispatches to by
+    default — keeps running through its manual-SPMD entry point instead:
+    'pallas_halo' wraps it in shard_map with boundary-row collective-
+    permutes (ops/pallas_correlation.sharded_pallas_correlation7x7);
+    pyramid levels whose H doesn't split over the mesh fall back to the
+    XLA shift formulation at trace time.
+
+    ``mesh``: the Engine's 1-axis ('space',) mesh, or None off-mesh."""
     kwargs = config.estimator_kwargs()
-    if mesh_sharded and kwargs.get("warp_bound"):
+    if mesh is not None and kwargs.get("warp_bound"):
         logger.warning(
             "lfn_warp_bound=%s is ignored under --mesh (the Pallas warp "
             "kernel has no SPMD partitioning rule); using the exact "
             "gather path", kwargs["warp_bound"])
         kwargs["warp_bound"] = 0
-    if mesh_sharded and config.method == "liteflownet":
-        # without this the TPU backend dispatch would pick the Pallas
-        # correlation kernel, which fails to trace over sharded operands
-        kwargs["corr_kernel"] = "xla"
+    if mesh is not None and config.method == "liteflownet":
+        kwargs["corr_kernel"] = "pallas_halo"
+        kwargs["corr_mesh"] = mesh
     return kwargs
 
 
@@ -216,8 +221,7 @@ class Engine:
             if source.yields_frames:
                 estimator_step = make_estimator_step(
                     source.config.method,
-                    mesh_safe_estimator_kwargs(source.config,
-                                               mesh is not None),
+                    mesh_safe_estimator_kwargs(source.config, mesh),
                     source.direction)
                 if mesh is not None and estimator_step.params != ():
                     estimator_step.params = jax.tree.map(
@@ -226,7 +230,7 @@ class Engine:
                 SourceRuntime(source, estimator_step, put=put_state,
                               params_put=(put_repl if mesh is not None
                                           else None),
-                              mesh_sharded=mesh is not None))
+                              mesh=mesh))
         postprocesses = [src.build_postprocess() for src in flow_sources]
         merge = get_merge_function(cfg.flows_merging_function)
         if mesh is not None:

@@ -17,6 +17,7 @@ correlation is a raw CUDA kernel (:48-116). Here:
 """
 import functools
 import os
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -285,6 +286,7 @@ class Matching(nn.Module):
     warp_bound: int | None = None
     warp_kernel: str | None = None
     corr_kernel: str | None = None
+    corr_mesh: typing.Any = None  # jax Mesh for corr_kernel='pallas_halo'
 
     @nn.compact
     def __call__(self, feat1, feat2, flow):
@@ -304,10 +306,12 @@ class Matching(nn.Module):
                              kernel=self.warp_kernel)
         if lvl >= 4:
             corr = _leaky(correlation7x7(feat1, feat2, stride=1,
-                                         kernel=self.corr_kernel))
+                                         kernel=self.corr_kernel,
+                                         mesh=self.corr_mesh))
         else:
             corr = _leaky(correlation7x7(feat1, feat2, stride=2,
-                                         kernel=self.corr_kernel))
+                                         kernel=self.corr_kernel,
+                                         mesh=self.corr_mesh))
             upcorr_kernel = self.param(
                 "upcorr_kernel", _bilinear_deconv_init, (4, 4, 49))
             corr = _upsample2x_phases(corr, upcorr_kernel)
@@ -444,12 +448,14 @@ class LiteFlowNet(nn.Module):
     ``warp_bound``: level-2 displacement bound for the Pallas backwarp
     (see _warp_bound); None falls back to the env var, 0 disables.
     ``warp_kernel``: 'select' | 'mxu' bounded-kernel variant (see
-    backwarp); ``corr_kernel``: 'xla' | 'pallas' correlation override
-    (ops/correlation.py) — 'xla' is required under GSPMD sharding, where
-    the Pallas kernel has no partitioning rule."""
+    backwarp); ``corr_kernel``: 'xla' | 'pallas' | 'pallas_halo'
+    correlation override (ops/correlation.py) — under GSPMD sharding use
+    'pallas_halo' with ``corr_mesh`` set (shard_map + halo exchange; the
+    plain Pallas kernel has no partitioning rule) or 'xla'."""
     warp_bound: int | None = None
     warp_kernel: str | None = None
     corr_kernel: str | None = None
+    corr_mesh: typing.Any = None
 
     @nn.compact
     def __call__(self, img1, img2):
@@ -475,7 +481,8 @@ class LiteFlowNet(nn.Module):
         for idx in (-1, -2, -3, -4, -5):
             lvl = _LEVELS[idx]
             flow = Matching(lvl, self.warp_bound, self.warp_kernel,
-                            self.corr_kernel, name=f"matching{lvl}")(
+                            self.corr_kernel, self.corr_mesh,
+                            name=f"matching{lvl}")(
                 feats1[idx], feats2[idx], flow)
             flow = Subpixel(lvl, self.warp_bound, self.warp_kernel,
                             name=f"subpixel{lvl}")(
@@ -614,11 +621,11 @@ def _get_variables(shape_hint, allow_random: bool, *, as_numpy: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=("warp_bound", "warp_kernel",
-                                             "corr_kernel"))
+                                             "corr_kernel", "corr_mesh"))
 def _run(variables, img1, img2, warp_bound=None, warp_kernel=None,
-         corr_kernel=None):
-    return LiteFlowNet(warp_bound, warp_kernel, corr_kernel).apply(
-        variables, img1, img2)
+         corr_kernel=None, corr_mesh=None):
+    return LiteFlowNet(warp_bound, warp_kernel, corr_kernel,
+                       corr_mesh).apply(variables, img1, img2)
 
 
 def get_weights(allow_random: bool = False):
@@ -632,7 +639,8 @@ def liteflownet(prev_gray_or_rgb, next_gray_or_rgb, *,
                 allow_random: bool = False, params=None,
                 warp_bound: int | None = None,
                 warp_kernel: str | None = None,
-                corr_kernel: str | None = None):
+                corr_kernel: str | None = None,
+                corr_mesh=None):
     """Estimate (H, W, 2) flow. Accepts RGB (H, W, 3) or grayscale uint8.
 
     Parity: liteflownet.py:614-647 (estimate + calc_optical_flow_...):
@@ -670,11 +678,11 @@ def liteflownet(prev_gray_or_rgb, next_gray_or_rgb, *,
     # units; resize to the caller's resolution and rescale magnitudes
     # (liteflownet.py:631-634)
     if traced:
-        flow = LiteFlowNet(warp_bound, warp_kernel, corr_kernel).apply(
-            params, img1, img2)
+        flow = LiteFlowNet(warp_bound, warp_kernel, corr_kernel,
+                           corr_mesh).apply(params, img1, img2)
     else:
         flow = _run(params, img1, img2, warp_bound, warp_kernel,
-                    corr_kernel)
+                    corr_kernel, corr_mesh)
     flow = bilinear_resize(flow, h, w)
     flow = flow * jnp.asarray([w / pw, h / ph], dtype=jnp.float32)
     return flow

@@ -37,18 +37,37 @@ def correlation7x7(f1, f2, stride: int = 1):
     return jnp.stack(outs, axis=-1)
 
 
-def correlation(f1, f2, stride: int = 1, kernel: str | None = None):
+def correlation(f1, f2, stride: int = 1, kernel: str | None = None,
+                mesh=None):
     """Backend dispatcher: the Pallas band kernel on TPU (1,000-55,000x
     faster than the XLA shift formulation, measured on v5e), XLA elsewhere.
 
     ``kernel``: 'xla' forces the shift formulation, 'pallas' forces the
-    band kernel, None dispatches on the backend. GSPMD-sharded callers
-    MUST force 'xla' — the Pallas kernel is a tpu_custom_call with no SPMD
-    partitioning rule (engine.mesh_safe_estimator_kwargs does this for
-    --mesh runs)."""
-    if kernel not in (None, "xla", "pallas"):
+    band kernel, 'pallas_halo' runs the band kernel under GSPMD H-sharding
+    via shard_map + boundary-row collective-permutes (``mesh`` required —
+    a mesh with a 'space' axis; engine.mesh_safe_estimator_kwargs selects
+    this for --mesh runs on the TPU backend). None dispatches on the
+    backend. Plain 'pallas' under GSPMD fails to trace: the kernel is a
+    tpu_custom_call with no SPMD partitioning rule.
+
+    'pallas_halo' levels whose H doesn't split exactly over the mesh (or
+    whose shards would be tiny) fall back to the XLA formulation — a
+    trace-time, static-shape decision (the LiteFlowNet pyramid's top
+    levels at high space-axis counts)."""
+    if kernel not in (None, "xla", "pallas", "pallas_halo"):
         raise ValueError(
-            f"correlation kernel must be 'xla' or 'pallas', got {kernel!r}")
+            "correlation kernel must be 'xla', 'pallas' or 'pallas_halo', "
+            f"got {kernel!r}")
+    if kernel == "pallas_halo":
+        if mesh is None:
+            raise ValueError("correlation kernel 'pallas_halo' needs a mesh")
+        from .pallas_correlation import (sharded_ok,
+                                         sharded_pallas_correlation7x7)
+        if sharded_ok(f1.shape[0], mesh.shape["space"], stride):
+            return sharded_pallas_correlation7x7(
+                f1, f2, mesh, stride=stride,
+                interpret=jax.default_backend() == "cpu")
+        return correlation7x7(f1, f2, stride=stride)
     if kernel == "xla":
         return correlation7x7(f1, f2, stride=stride)
     if kernel == "pallas" or jax.default_backend() != "cpu":

@@ -68,31 +68,24 @@ def _pick_tile_h(h: int, w: int, c: int, itemsize1: int = 4,
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("stride", "interpret"))
-def pallas_correlation7x7(f1, f2, stride: int = 1, interpret: bool = False):
-    """Drop-in replacement for ops.correlation.correlation7x7.
+def _stage_dtype(x):
+    """Each input stages in ITS OWN dtype: a bf16 operand stays bf16 in
+    HBM/VMEM (half that band's DMA — the CNN's feature dtype) while an
+    f32 operand stays f32. Keying both off f1 would silently quantize
+    the common mixed case — feat1 is bf16 but the backwarped feat2
+    arrives f32 (bilinear weights are f32) — and bf16->f32 is the only
+    exact direction. The kernel computes in f32 either way."""
+    return jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
-    Stride 2 reduces to the stride-1 kernel on even-grid subsamples: all
-    taps sit at even offsets of the (3*stride)-padded buffer, so
-    out = corr1(f1[::2, ::2], pad(f2, 6)[::2, ::2])."""
-    h, w, c = f1.shape
-    pad = MAX_DISP * stride
-    # Each input stages in ITS OWN dtype: a bf16 operand stays bf16 in
-    # HBM/VMEM (half that band's DMA — the CNN's feature dtype) while an
-    # f32 operand stays f32. Keying both off f1 would silently quantize
-    # the common mixed case — feat1 is bf16 but the backwarped feat2
-    # arrives f32 (bilinear weights are f32) — and bf16->f32 is the only
-    # exact direction. The kernel computes in f32 either way.
-    stage1 = jnp.bfloat16 if f1.dtype == jnp.bfloat16 else jnp.float32
-    stage2 = jnp.bfloat16 if f2.dtype == jnp.bfloat16 else jnp.float32
-    f1 = f1.astype(stage1)
-    f2p = jnp.pad(f2.astype(stage2), ((pad, pad), (pad, pad), (0, 0)))
-    if stride > 1:
-        f1 = f1[::stride, ::stride]
-        f2p = f2p[::stride, ::stride]
-    oh, ow = f1.shape[:2]
-    tile_h = _pick_tile_h(oh, ow, c, jnp.dtype(stage1).itemsize,
-                          jnp.dtype(stage2).itemsize)
+
+def _corr_call(f1s, f2ps, interpret: bool):
+    """Invoke the band kernel on pre-padded, pre-strided operands.
+
+    ``f1s``: (oh, ow, c); ``f2ps``: (oh + 6, ow + 6, c) — the f2 buffer
+    with MAX_DISP rows/cols of context on every side (zeros at true frame
+    edges, neighbor-shard rows in the sharded entry point)."""
+    oh, ow, c = f1s.shape
+    tile_h = _pick_tile_h(oh, ow, c, f1s.dtype.itemsize, f2ps.dtype.itemsize)
     return pl.pallas_call(
         _kernel,
         grid=(oh // tile_h,),
@@ -110,4 +103,86 @@ def pallas_correlation7x7(f1, f2, stride: int = 1, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((oh, ow, WINDOW * WINDOW),
                                        jnp.float32),
         interpret=interpret,
-    )(f1, f2p)
+    )(f1s, f2ps)
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "interpret"))
+def pallas_correlation7x7(f1, f2, stride: int = 1, interpret: bool = False):
+    """Drop-in replacement for ops.correlation.correlation7x7.
+
+    Stride 2 reduces to the stride-1 kernel on even-grid subsamples: all
+    taps sit at even offsets of the (3*stride)-padded buffer, so
+    out = corr1(f1[::2, ::2], pad(f2, 6)[::2, ::2])."""
+    pad = MAX_DISP * stride
+    f1 = f1.astype(_stage_dtype(f1))
+    f2p = jnp.pad(f2.astype(_stage_dtype(f2)),
+                  ((pad, pad), (pad, pad), (0, 0)))
+    if stride > 1:
+        f1 = f1[::stride, ::stride]
+        f2p = f2p[::stride, ::stride]
+    return _corr_call(f1, f2p, interpret)
+
+
+def sharded_ok(h: int, n_space: int, stride: int) -> bool:
+    """Whether ``sharded_pallas_correlation7x7`` applies at this shape.
+
+    shard_map needs an exact H split; stride 2 additionally needs every
+    shard to start on an even global row so the per-shard subsample hits
+    the same grid as the global one. Tiny shards aren't worth a kernel
+    launch + halo exchange."""
+    if h % (n_space * stride):
+        return False
+    return h // (n_space * stride) >= 8
+
+
+def sharded_pallas_correlation7x7(f1, f2, mesh, stride: int = 1,
+                                  axis: str = "space",
+                                  interpret: bool = False):
+    """The band kernel under GSPMD H-sharding: shard_map + halo ppermute.
+
+    A Pallas kernel is a ``tpu_custom_call`` with no SPMD partitioning
+    rule, so it cannot trace over GSPMD-sharded operands — which used to
+    force mesh runs onto the XLA shift formulation (orders of magnitude
+    slower on the TPU backend, see ``correlation``'s docstring). The
+    TPU-native answer is manual SPMD for exactly this op: shard_map over
+    the mesh's ``axis``, each shard exchanging MAX_DISP*stride boundary
+    rows of f2 with its neighbors over ICI (two collective-permutes of
+    K*W*C bytes — the same neighbor-row pattern as ops/halo_gather), then
+    running the unchanged band kernel on its (h/n + 2*halo)-row window.
+    Values are identical to the unsharded kernel: interior shards read
+    true neighbor rows, edge shards read the zeros ppermute delivers to
+    non-destinations — the global zero padding.
+
+    Requires ``sharded_ok(h, mesh.shape[axis], stride)``; callers fall
+    back to the XLA formulation otherwise (trace-time decision, static
+    shapes)."""
+    h = f1.shape[0]
+    n = mesh.shape[axis]
+    if not sharded_ok(h, n, stride):
+        raise ValueError(
+            f"H={h} does not shard over {n} devices at stride {stride} "
+            "(check sharded_ok first)")
+    pad = MAX_DISP * stride
+    stage1, stage2 = _stage_dtype(f1), _stage_dtype(f2)
+
+    def body(f1_loc, f2_loc):
+        f1_loc = f1_loc.astype(stage1)
+        f2_loc = f2_loc.astype(stage2)
+        # neighbor boundary rows; devices no permute targets (the global
+        # top/bottom shards) receive zeros = the frame's zero padding
+        top = jax.lax.ppermute(f2_loc[-pad:], axis,
+                               [(i, i + 1) for i in range(n - 1)])
+        bot = jax.lax.ppermute(f2_loc[:pad], axis,
+                               [(i + 1, i) for i in range(n - 1)])
+        f2p = jnp.pad(jnp.concatenate([top, f2_loc, bot], axis=0),
+                      ((0, 0), (pad, pad), (0, 0)))
+        f1s = f1_loc[::stride, ::stride] if stride > 1 else f1_loc
+        f2ps = f2p[::stride, ::stride] if stride > 1 else f2p
+        return _corr_call(f1s, f2ps, interpret)
+
+    spec = jax.sharding.PartitionSpec(axis, None, None)
+    # check_vma=False: pallas_call's ShapeDtypeStruct carries no varying-
+    # mesh-axes annotation, and the body is manifestly per-shard + two
+    # explicit ppermutes — nothing for the checker to catch here
+    return jax.shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                         out_specs=spec, check_vma=False)(f1, f2)
