@@ -275,6 +275,35 @@ class TestResizeSemantics:
         np.testing.assert_allclose(got, golden[f"{name}_y"],
                                    atol=1e-5, rtol=1e-5)
 
+    @pytest.mark.parametrize("h,w,c", [(64, 96, 3), (34, 60, 2), (8, 8, 1),
+                                       (2, 2, 3)])
+    def test_2x_fast_paths_bit_identical(self, h, w, c):
+        """Exact 2x scales (the only ones the LFN pyramid uses) take
+        gather-free strided fast paths; they must reproduce the general
+        take-based formulation BIT-FOR-BIT — same weights, same operation
+        order, explicit handling of the index-0 weight-clip edge case."""
+        from transflow_tpu.ops.image import (_torch_bilinear_resize_take,
+                                             torch_bilinear_resize)
+        rng = np.random.default_rng(h * w + c)
+        x = jnp.asarray(rng.standard_normal((h, w, c)).astype(np.float32) * 7)
+        for nh, nw in [(h // 2, w // 2), (2 * h, 2 * w)]:
+            fast = np.asarray(torch_bilinear_resize(x, nh, nw))
+            ref = np.asarray(_torch_bilinear_resize_take(
+                x.astype(jnp.float32), nh, nw))
+            np.testing.assert_array_equal(fast, ref)
+
+    def test_non_2x_shapes_use_general_path(self):
+        """Odd dims (ceil-halved pyramid levels that aren't exact halves)
+        must keep routing through the take formulation unchanged."""
+        from transflow_tpu.ops.image import (_torch_bilinear_resize_take,
+                                             torch_bilinear_resize)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((33, 61, 3)).astype(np.float32))
+        got = np.asarray(torch_bilinear_resize(x, 17, 31))
+        ref = np.asarray(_torch_bilinear_resize_take(
+            x.astype(jnp.float32), 17, 31))
+        np.testing.assert_array_equal(got, ref)
+
     def test_antialiased_resize_differs_on_downscale(self, golden):
         """Sanity: the anti-aliased jax resize does NOT match torch on
         downscale — the reason liteflownet uses torch_bilinear_resize."""
