@@ -188,7 +188,6 @@ def main():
     from transflow_tpu.ops.image import torch_bilinear_resize
 
     def pyramid(img):
-        out = img
         acc = jnp.float32(0)
         cur = img
         for lvl in range(1, 6):
@@ -196,6 +195,30 @@ def main():
             acc = acc + jnp.mean(cur)
         return acc
     chain_time("img_pyramid_resize_x1", pyramid, (im_full,))
+
+    # resize A/B: gather-free 2x fast path vs the general take formulation
+    # (same values; the take path rides the TPU gather wall)
+    try:
+        from transflow_tpu.ops.image import _torch_bilinear_resize_take
+
+        def pyramid_take(img):
+            acc = jnp.float32(0)
+            cur = img
+            for lvl in range(1, 6):
+                cur = _torch_bilinear_resize_take(cur, hw[lvl][0],
+                                                  hw[lvl][1])
+                acc = acc + jnp.mean(cur)
+            return acc
+        chain_time("img_pyramid_resize_x1_takepath", pyramid_take,
+                   (im_full,))
+        flow_half = rand((hw[1][0], hw[1][1], 2), jnp.float32)
+        chain_time("flow_up2x_fast",
+                   lambda x: torch_bilinear_resize(x, H, W), (flow_half,))
+        chain_time("flow_up2x_takepath",
+                   lambda x: _torch_bilinear_resize_take(x, H, W),
+                   (flow_half,))
+    except ImportError:
+        pass  # older checkout without the fast paths
 
     RESULTS["base_ms"] = round(base * 1e3, 3)
     RESULTS["meta"] = {"H": H, "W": W, "N": N,
