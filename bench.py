@@ -40,6 +40,13 @@ import transflow_tpu
 transflow_tpu.enable_compile_cache(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
+def _repo_dir() -> str:
+    """Directory bench artifacts (sidecars, cache) live in — module-level
+    so tests can monkeypatch it and keep fake records out of the real
+    repo sidecar."""
+    return os.path.dirname(os.path.abspath(__file__))
+
+
 HEIGHT, WIDTH = 1080, 1920
 CHUNK = 16             # frames per device dispatch (lax.scan)
 CHUNKS_PER_SAMPLE = 32  # chained dispatches per timed sample (~5 ms device)
@@ -498,8 +505,7 @@ class _Watchdog:
                 "measurement above is intact, optional stages were cut")
             print(json.dumps(record), flush=True)
             os._exit(0)
-        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".bench_last_healthy.json")
+        sidecar = os.path.join(_repo_dir(), ".bench_last_healthy.json")
         print(json.dumps({
             "metric": "1080p_e2e_fps_flow_warp_composite",
             "value": 0,
@@ -594,8 +600,7 @@ def load_last_healthy(path: str):
 
 def main():
     watchdog = _Watchdog()
-    record_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".bench_cpu_baseline.json")
+    record_path = os.path.join(_repo_dir(), ".bench_cpu_baseline.json")
     cpu_fps = None
     if os.path.exists(record_path):
         try:
@@ -611,8 +616,7 @@ def main():
                            "width": WIDTH, "timestamp": time.time()}, file)
         except OSError:
             pass
-    healthy_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                ".bench_last_healthy.json")
+    healthy_path = os.path.join(_repo_dir(), ".bench_last_healthy.json")
 
     def refusal_record(tpu):
         # REFUSAL record: a sick-regime number is the infrastructure, not

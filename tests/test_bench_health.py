@@ -141,6 +141,101 @@ def test_pending_record_survives_deadline(tmp_path):
     assert "stage-liteflownet" in record["extras_truncated"]
 
 
+def _healthy_tpu_result():
+    return {"healthy": True, "fps": 30000.0, "ms_per_frame": 0.033,
+            "best_fps": 31000.0, "noise_iqr_pct": 2.0, "tunnel_rtt_s": 0.01,
+            "chunk_gate_s": 0.5, "stage_ms": {"estimate": 0.01},
+            "hbm_io_gbps": 200.0, "vmem_resident_state_mb": 40.0,
+            "unhealthy_reasons": []}
+
+
+def _sick_tpu_result():
+    return {**_healthy_tpu_result(), "healthy": False, "fps": 1.73,
+            "unhealthy_reasons": ["quantized cycle"]}
+
+
+def test_main_success_runs_extras_after_flagship(monkeypatch, tmp_path,
+                                                 capsys):
+    """Flagship record first, then the optional stages (LFN figure, e2e)
+    merge into it; one JSON line with everything; the sidecar persists
+    the final record."""
+    import json
+    import bench as bench_mod
+    order = []
+    monkeypatch.setattr(bench_mod, "_repo_dir", lambda: str(tmp_path))
+    monkeypatch.setattr(bench_mod, "bench_cpu_reference", lambda: 1.0)
+    monkeypatch.setattr(
+        bench_mod, "bench_tpu",
+        lambda watchdog=None: order.append("tpu") or _healthy_tpu_result())
+    monkeypatch.setattr(
+        bench_mod, "_bench_liteflownet",
+        lambda: order.append("lfn") or {"liteflownet_1088p_fps": 7.0})
+    monkeypatch.setattr(
+        bench_mod, "bench_e2e_cli",
+        lambda: order.append("e2e") or {"e2e_fps_still": 5.0})
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--e2e"])
+    monkeypatch.delenv("TRANSFLOW_BENCH_LITEFLOWNET", raising=False)
+    bench_mod.main()
+    assert order == ["tpu", "lfn", "e2e"]
+    record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert record["healthy"] is True
+    assert record["value"] == 30000.0
+    assert record["vs_baseline"] == 30000.0
+    assert record["liteflownet_1088p_fps"] == 7.0
+    assert record["e2e_fps_still"] == 5.0
+    sidecar = json.load(open(tmp_path / ".bench_last_healthy.json"))
+    assert sidecar["e2e_fps_still"] == 5.0 and "timestamp" in sidecar
+
+
+def test_main_refusal_skips_extras(monkeypatch, tmp_path, capsys):
+    """An unhealthy verdict refuses with value 0, never runs the optional
+    stages (they would measure the sick tunnel), and says why e2e was
+    skipped."""
+    import json
+    import bench as bench_mod
+    monkeypatch.setattr(bench_mod, "_repo_dir", lambda: str(tmp_path))
+    monkeypatch.setattr(bench_mod, "bench_cpu_reference", lambda: 1.0)
+    monkeypatch.setattr(bench_mod, "bench_tpu",
+                        lambda watchdog=None: _sick_tpu_result())
+
+    def boom():
+        raise AssertionError("optional stage ran in a sick regime")
+    monkeypatch.setattr(bench_mod, "_bench_liteflownet", boom)
+    monkeypatch.setattr(bench_mod, "bench_e2e_cli", boom)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--e2e"])
+    monkeypatch.setenv("TRANSFLOW_BENCH_RETRY", "0")
+    bench_mod.main()
+    record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert record["healthy"] is False
+    assert record["value"] == 0
+    assert "quantized cycle" in record["error"]
+    assert "e2e_skipped" in record
+    assert record["last_healthy_record"] is None
+    assert not (tmp_path / ".bench_last_healthy.json").exists()
+
+
+def test_main_extras_failure_degrades_not_refuses(monkeypatch, tmp_path,
+                                                  capsys):
+    """A crash in an optional stage lands as an *_error field on the
+    intact flagship record, never as a refusal."""
+    import json
+    import bench as bench_mod
+    monkeypatch.setattr(bench_mod, "_repo_dir", lambda: str(tmp_path))
+    monkeypatch.setattr(bench_mod, "bench_cpu_reference", lambda: 1.0)
+    monkeypatch.setattr(bench_mod, "bench_tpu",
+                        lambda watchdog=None: _healthy_tpu_result())
+
+    def boom():
+        raise RuntimeError("fresh sick window")
+    monkeypatch.setattr(bench_mod, "_bench_liteflownet", boom)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    monkeypatch.delenv("TRANSFLOW_BENCH_LITEFLOWNET", raising=False)
+    bench_mod.main()
+    record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert record["healthy"] is True and record["value"] == 30000.0
+    assert "fresh sick window" in record["liteflownet_error"]
+
+
 def test_watchdog_remaining_budget():
     import bench as bench_mod
     w = bench_mod._Watchdog()
