@@ -693,8 +693,12 @@ def main():
     # The flagship measurement is DONE: persist + stash it before any
     # optional stage runs, so a stall in the extras (fresh sick window,
     # long compile) degrades to extras_truncated — never to a refusal.
+    # Stash a COPY at each stage boundary: the timer thread copies
+    # pending_record when it fires, and copying a dict the main thread is
+    # concurrently update()-ing can raise mid-iteration, which would lose
+    # the record — the exact failure pending_record exists to prevent.
     write_sidecar(record)
-    watchdog.pending_record = record
+    watchdog.pending_record = dict(record)
     if os.environ.get("TRANSFLOW_BENCH_LITEFLOWNET", "1") != "0":
         # CNN figure via the chained methodology — only after the regime
         # just proved healthy (a quantized window would print garbage)
@@ -703,6 +707,7 @@ def main():
             record.update(_bench_liteflownet())
         except Exception as exc:
             record["liteflownet_error"] = repr(exc)[:200]
+        watchdog.pending_record = dict(record)
     if "--e2e" in sys.argv:
         # e2e AFTER the health proof: its verdict is the realistic heavy
         # gate a small probe cannot provide (BASELINE.md: probe-healthy /

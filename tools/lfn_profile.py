@@ -12,22 +12,21 @@ import json
 import sys
 import time
 
+import os
+
 import numpy as np
 
 import jax
 
-import os as _os
-if _os.environ.get("TRANSFLOW_PLATFORM"):
-    jax.config.update("jax_platforms", _os.environ["TRANSFLOW_PLATFORM"])
+if os.environ.get("TRANSFLOW_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["TRANSFLOW_PLATFORM"])
 import jax.numpy as jnp
 
-import os as _os_
-sys.path.insert(0, _os_.path.dirname(_os_.path.dirname(_os_.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from transflow_tpu.flow.estimators import liteflownet as lfn  # noqa: E402
 from transflow_tpu.ops.correlation import correlation as corr_xla  # noqa: E402
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 12
-import os
 H = int(os.environ.get("LFN_H", 1088))
 W = int(os.environ.get("LFN_W", 1920))
 rng = np.random.default_rng(0)
@@ -155,10 +154,14 @@ def main():
     flow2 = rand((h, w, 2), jnp.float32)
     chain_time("backwarp_l2_64c", lambda a, fl: lfn.backwarp(a, fl * 10.0),
                (f64a, flow2))
+    # kernel='xla' REQUIRED: corr_xla is the backend dispatcher, which on
+    # TPU would silently route to the Pallas kernel and void the A/B
     chain_time("corr_xla_l2_stride2",
-               lambda a, b: corr_xla(a, b, stride=2), (f64a, f64b))
+               lambda a, b: corr_xla(a, b, stride=2, kernel="xla"),
+               (f64a, f64b))
     chain_time("corr_xla_l2_stride1",
-               lambda a, b: corr_xla(a, b, stride=1), (f64a, f64b))
+               lambda a, b: corr_xla(a, b, stride=1, kernel="xla"),
+               (f64a, f64b))
     try:
         from transflow_tpu.ops.pallas_correlation import (
             pallas_correlation7x7 as corr_pl)

@@ -61,6 +61,10 @@ def correlation(f1, f2, stride: int = 1, kernel: str | None = None,
     if kernel == "pallas_halo":
         if mesh is None:
             raise ValueError("correlation kernel 'pallas_halo' needs a mesh")
+        if "space" not in mesh.shape:
+            raise ValueError(
+                "correlation kernel 'pallas_halo' shards over a 'space' "
+                f"mesh axis; got axes {tuple(mesh.shape)}")
         from .pallas_correlation import (sharded_ok,
                                          sharded_pallas_correlation7x7)
         if sharded_ok(f1.shape[0], mesh.shape["space"], stride):

@@ -158,7 +158,11 @@ def _up2x_axis_torch(x, axis: int) -> jax.Array:
     x = jnp.moveaxis(x, axis, 0)
     prev = jnp.concatenate([x[:1], x[:-1]], axis=0)      # in[j-1], clamped
     nxt = jnp.concatenate([x[1:], x[-1:]], axis=0)       # in[j+1], clamped
-    evens = (prev * 0.25 + x * 0.75).at[0].set(x[0])
+    # index 0 reproduces the take path's exact expression in[0]*1.0 +
+    # in[min(1, h-1)]*0.0 — NOT a bare in[0]: the *0.0 term matters for
+    # bit-identity when in[1] is non-finite (NaN*0.0 = NaN propagates)
+    row0 = x[0] * 1.0 + x[min(1, x.shape[0] - 1)] * 0.0
+    evens = (prev * 0.25 + x * 0.75).at[0].set(row0)
     odds = x * 0.75 + nxt * 0.25
     out = jnp.stack([evens, odds], axis=1).reshape((-1,) + x.shape[1:])
     return jnp.moveaxis(out, 0, axis)
