@@ -1,6 +1,8 @@
 import math
 import os
+import sys
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -179,3 +181,48 @@ class TestControlSession:
         assert tuple(preview[2, 3]) == (255, 0, 0)
         session.erase(2, 3)
         assert session.alteration[2, 4, 3] == 0
+
+
+class TestKernelAssets:
+    def test_generated_kernels_match_reference_assets(self, tmp_path):
+        """extra/make_kernels.py regenerates the reference's shipped
+        --kernel asset set (assets/kernels) value-exactly: same names,
+        same arrays, nothing extra."""
+        import glob
+        ref_root = "/root/reference/assets/kernels"
+        if not os.path.isdir(ref_root):
+            pytest.skip("reference assets not mounted")
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "extra"))
+        try:
+            from make_kernels import create_kernels
+        finally:
+            sys.path.pop(0)
+        create_kernels(str(tmp_path))
+        refs = sorted(glob.glob(os.path.join(ref_root, "*", "*.npy")))
+        assert refs, "reference kernel assets missing"
+        for ref in refs:
+            rel = os.path.relpath(ref, ref_root)
+            mine = tmp_path / rel
+            assert mine.exists(), f"missing kernel {rel}"
+            np.testing.assert_array_equal(np.load(ref), np.load(mine),
+                                          err_msg=rel)
+        generated = {os.path.relpath(p, tmp_path) for p in glob.glob(
+            os.path.join(tmp_path, "*", "*.npy"))}
+        assert generated == {os.path.relpath(p, ref_root) for p in refs}
+
+    def test_identity_kernel_is_noop_through_device_conv(self, tmp_path):
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "extra"))
+        try:
+            from make_kernels import create_kernels
+        finally:
+            sys.path.pop(0)
+        create_kernels(str(tmp_path))
+        from transflow_tpu.ops.image import conv2d_same
+        kernel = np.load(tmp_path / "3x3" / "identity.npy")
+        rng = np.random.default_rng(0)
+        plane = rng.standard_normal((12, 17)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(conv2d_same(jnp.asarray(plane), kernel)), plane,
+            atol=1e-6)
