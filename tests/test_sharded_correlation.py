@@ -106,6 +106,22 @@ class TestDispatcher:
 
 
 class TestFullNetUnderMesh:
+    def test_mesh_config_engages_sharded_kernel(self, monkeypatch):
+        """Guard against a silent all-levels fallback: the traced program
+        for the --mesh estimator config must actually contain the halo
+        collective-permutes (a future sharded_ok/shape change could
+        otherwise quietly route every level to the XLA formulation and
+        nothing would fail)."""
+        monkeypatch.setenv("TRANSFLOW_LITEFLOWNET_RANDOM", "1")
+        from transflow_tpu.flow.estimators.liteflownet import (LiteFlowNet,
+                                                               get_weights)
+        mesh = make_space_mesh(2)
+        model = LiteFlowNet(corr_kernel="pallas_halo", corr_mesh=mesh)
+        variables = get_weights(allow_random=True)
+        img = jnp.zeros((64, 96, 3), jnp.float32)
+        jaxpr = str(jax.make_jaxpr(
+            lambda a, b: model.apply(variables, a, b))(img, img))
+        assert "ppermute" in jaxpr
     def test_liteflownet_corr_mesh_matches_pallas(self, monkeypatch):
         """The assembled pyramid with corr_mesh (the --mesh engine config):
         level 2 (H=32, stride 2, 2-way mesh -> 8 output rows/shard) rides
