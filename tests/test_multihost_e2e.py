@@ -129,6 +129,24 @@ expected = np.stack(expected)
 for shard in rgbs.addressable_shards:
     np.testing.assert_array_equal(np.asarray(shard.data),
                                   expected[shard.index])
+
+# ---- sharded Pallas correlation across the distributed runtime ----------
+# shard_map + boundary-row ppermutes over the global 'space' axis (the
+# --mesh liteflownet kernel routing); stream-replicated operands. Must be
+# bit-exact vs the single-device kernel on every host's shards.
+from transflow_tpu.ops.pallas_correlation import (pallas_correlation7x7,
+                                                  sharded_pallas_correlation7x7)
+crng = np.random.default_rng(7)  # same seed on both hosts
+f1_np = crng.standard_normal((64, 48, 16)).astype(np.float32)
+f2_np = crng.standard_normal((64, 48, 16)).astype(np.float32)
+f1 = put_global(f1_np, P("space", None, None))
+f2 = put_global(f2_np, P("space", None, None))
+corr = sharded_pallas_correlation7x7(f1, f2, mesh, stride=2, interpret=True)
+corr_want = np.asarray(pallas_correlation7x7(
+    jnp.asarray(f1_np), jnp.asarray(f2_np), stride=2, interpret=True))
+for shard in corr.addressable_shards:
+    np.testing.assert_array_equal(np.asarray(shard.data),
+                                  corr_want[shard.index])
 print(f"proc {proc_id} ok", flush=True)
 """
 
