@@ -105,6 +105,61 @@ class TestDispatcher:
                                           interpret=True)
 
 
+class TestStreamSpaceComposition:
+    def test_vmap_spmd_axis_over_sharded_corr(self):
+        """The model path batches streams with vmap(spmd_axis_name=
+        'stream') around the step; the shard_map'd correlation inside
+        must survive that batching bit-exactly."""
+        from transflow_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(3)
+        f1 = jnp.asarray(rng.standard_normal((2, 64, 48, 16))
+                         .astype(np.float32))
+        f2 = jnp.asarray(rng.standard_normal((2, 64, 48, 16))
+                         .astype(np.float32))
+        out = jax.vmap(
+            lambda a, b: sharded_pallas_correlation7x7(
+                a, b, mesh, stride=2, interpret=True),
+            spmd_axis_name="stream")(f1, f2)
+        want = np.stack([np.asarray(pallas_correlation7x7(
+            f1[s], f2[s], stride=2, interpret=True)) for s in range(2)])
+        np.testing.assert_array_equal(np.asarray(out), want)
+
+    def test_sharded_scan_traces_with_corr_mesh(self, monkeypatch):
+        """FlowTransferModel + sharded_scan with the estimator built on
+        corr_kernel='pallas_halo': the traced stream x space program must
+        contain the halo collective-permutes (trace-only — proves the
+        vmap/shard_map wiring without paying an interpret-mode run)."""
+        monkeypatch.setenv("TRANSFLOW_LITEFLOWNET_RANDOM", "1")
+        from transflow_tpu.config import LayerConfig
+        from transflow_tpu.flow import Direction
+        from transflow_tpu.model import FlowTransferModel
+        from transflow_tpu.parallel.mesh import make_mesh, sharded_scan
+        mesh = make_mesh(8)  # stream=2 x space=4
+        h, w, chunk, n_streams = 128, 96, 1, 2
+        model = FlowTransferModel(
+            h, w, [LayerConfig(0)], {0: [(3, np.ones((h, w), bool))]},
+            method="liteflownet",
+            estimator_kwargs=dict(corr_kernel="pallas_halo", corr_mesh=mesh,
+                                  warp_bound=0),
+            direction=Direction.BACKWARD)
+        rng = np.random.default_rng(5)
+        state = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[model.init_state(rng.integers(0, 256, (h, w), dtype=np.uint8))
+              for _ in range(n_streams)])
+        grays = jnp.asarray(rng.integers(
+            0, 256, (n_streams, chunk, h, w), dtype=np.uint8))
+        pixmaps = model.default_pixmaps()
+        keys = jax.random.split(jax.random.key(0), n_streams)
+        run = sharded_scan(model, mesh)
+        with mesh:
+            jaxpr = str(jax.make_jaxpr(
+                lambda s, g, k: run(s, g, pixmaps, jnp.float32(0.0), k))(
+                    state, grays, keys))
+        assert "ppermute" in jaxpr
+
+
 class TestFullNetUnderMesh:
     def test_mesh_config_engages_sharded_kernel(self, monkeypatch):
         """Guard against a silent all-levels fallback: the traced program

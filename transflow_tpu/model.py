@@ -83,7 +83,12 @@ class FlowTransferModel:
             else:
                 left, right = gray, prev_gray
             if method == "liteflownet":
-                return estimator(left, right, params=est_params)
+                # kwargs MUST flow through: corr_kernel/corr_mesh select
+                # the GSPMD-safe correlation under sharded_scan meshes
+                # (dropping them here silently dispatched the plain Pallas
+                # kernel, which cannot trace over sharded operands)
+                return estimator(left, right, params=est_params,
+                                 **estimator_kwargs)
             if takes_prev:
                 return estimator(left, right, prev_flow, **estimator_kwargs)
             return estimator(left, right, **estimator_kwargs)

@@ -177,16 +177,23 @@ def sharded_scan(model, mesh: Mesh, per_stream_pixmaps: bool = False):
         params_list = constrained(params_list, params_spec)
         # estimator weights: replicated across the mesh (small per-leaf)
         est_params = constrained(est_params, lambda nd: P())
+        # spmd_axis_name: the vmapped stream dim is declared as the mesh's
+        # 'stream' axis so manual-SPMD regions inside the step (the
+        # shard_map'd sharded Pallas correlation when the estimator is
+        # built with corr_mesh) compose with the batching — a no-op for
+        # steps without shard_map (pinned bit-exact by the mesh tests)
         if per_stream_pixmaps:
             new_state, rgbs = jax.vmap(
                 lambda s, g, k, pm: model.scan(
                     s, g, pm, t0, k, params_list, pp_mask,
-                    est_params=est_params)
+                    est_params=est_params),
+                spmd_axis_name="stream",
             )(state, grays, keys, pixmaps)
         else:
             new_state, rgbs = jax.vmap(
                 lambda s, g, k: model.scan(s, g, pixmaps, t0, k, params_list,
-                                           pp_mask, est_params=est_params)
+                                           pp_mask, est_params=est_params),
+                spmd_axis_name="stream",
             )(state, grays, keys)
         new_state = constrained(new_state, state_spec)
         rgbs = constrained(rgbs, frames_spec)
