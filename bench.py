@@ -37,8 +37,6 @@ import numpy as np
 # startup, so env vars set here are too late).
 import transflow_tpu
 
-transflow_tpu.enable_compile_cache(
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 def _repo_dir() -> str:
     """Directory bench artifacts (sidecars, cache) live in — module-level
@@ -46,6 +44,8 @@ def _repo_dir() -> str:
     repo sidecar."""
     return os.path.dirname(os.path.abspath(__file__))
 
+
+transflow_tpu.enable_compile_cache(os.path.join(_repo_dir(), ".jax_cache"))
 
 HEIGHT, WIDTH = 1080, 1920
 CHUNK = 16             # frames per device dispatch (lax.scan)

@@ -87,15 +87,12 @@ def batch_render(pairs, out_dir, chunk=8, method="horn-schunck",
                               reset_linear_factor=factor,
                               reset_constant_step=factor)]
     flow_filters = f"clip={halo}" if halo else None
-    kwargs = dict(estimator_kwargs) if estimator_kwargs is not None else (
+    from transflow_tpu.engine import mesh_safe_kwargs
+    kwargs = estimator_kwargs if estimator_kwargs is not None else (
         dict(max_iters=8, delta=None) if method == "horn-schunck" else {})
-    if method == "liteflownet":
-        # mesh-safe CNN kernels (same rules as engine.mesh_safe_estimator_
-        # kwargs): the correlation runs through its manual-SPMD entry
-        # point, and the bounded warp (unpartitionable) stays off
-        kwargs.setdefault("corr_kernel", "pallas_halo")
-        kwargs.setdefault("corr_mesh", mesh)
-        kwargs.setdefault("warp_bound", 0)
+    # mesh-safe CNN kernels: route the correlation through its manual-SPMD
+    # entry point and keep the unpartitionable bounded warp off
+    kwargs = mesh_safe_kwargs(kwargs, method, mesh)
     model = FlowTransferModel(
         h, w, layer_cfgs, {0: [(3, np.ones((h, w), bool))]},
         method=method, estimator_kwargs=kwargs,

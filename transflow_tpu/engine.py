@@ -94,7 +94,7 @@ class SourceRuntime:
         return raw
 
 
-def mesh_safe_estimator_kwargs(config, mesh) -> dict:
+def mesh_safe_kwargs(kwargs: dict, method: str, mesh) -> dict:
     """Estimator kwargs adjusted for GSPMD execution under ``mesh``.
 
     Pallas kernels are tpu_custom_calls with no SPMD partitioning rule,
@@ -107,18 +107,26 @@ def mesh_safe_estimator_kwargs(config, mesh) -> dict:
     pyramid levels whose H doesn't split over the mesh fall back to the
     XLA shift formulation at trace time.
 
-    ``mesh``: the Engine's 1-axis ('space',) mesh, or None off-mesh."""
-    kwargs = config.estimator_kwargs()
+    ``mesh``: any mesh with a 'space' axis (the Engine's 1-axis
+    ('space',) mesh, or sharded_scan's ('stream', 'space')), or None
+    off-mesh. The single source of these rules — the Engine and
+    extra/batch_render.py both route through here."""
+    kwargs = dict(kwargs)
     if mesh is not None and kwargs.get("warp_bound"):
         logger.warning(
             "lfn_warp_bound=%s is ignored under --mesh (the Pallas warp "
             "kernel has no SPMD partitioning rule); using the exact "
             "gather path", kwargs["warp_bound"])
         kwargs["warp_bound"] = 0
-    if mesh is not None and config.method == "liteflownet":
+    if mesh is not None and method == "liteflownet":
         kwargs["corr_kernel"] = "pallas_halo"
         kwargs["corr_mesh"] = mesh
     return kwargs
+
+
+def mesh_safe_estimator_kwargs(config, mesh) -> dict:
+    """``mesh_safe_kwargs`` over a flow-source config's estimator kwargs."""
+    return mesh_safe_kwargs(config.estimator_kwargs(), config.method, mesh)
 
 
 def make_estimator_step(method: str, estimator_kwargs: dict,

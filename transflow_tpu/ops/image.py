@@ -188,14 +188,13 @@ def torch_bilinear_resize(image, new_h: int, new_w: int) -> jax.Array:
     h, w = image.shape[:2]
     image = image.astype(jnp.float32)
     if (new_h, new_w) == (h, w):
-        return image[..., 0] if squeeze else image
-    if (new_h * 2, new_w * 2) == (h, w):
+        out = image
+    elif (new_h * 2, new_w * 2) == (h, w):
         out = _down2x_torch(image)
-        return out[..., 0] if squeeze else out
-    if (new_h, new_w) == (2 * h, 2 * w):
+    elif (new_h, new_w) == (2 * h, 2 * w):
         out = _up2x_axis_torch(_up2x_axis_torch(image, 0), 1)
-        return out[..., 0] if squeeze else out
-    out = _torch_bilinear_resize_take(image, new_h, new_w)
+    else:
+        out = _torch_bilinear_resize_take(image, new_h, new_w)
     return out[..., 0] if squeeze else out
 
 
