@@ -421,6 +421,41 @@ class TestLiteFlowNetPipeline:
             assert np.array_equal(fa, fb), a.name
 
 
+class TestLiteFlowNetMeshPipeline:
+
+    def test_mesh_lfn_matches_single_device(self, assets, tmp_path,
+                                            monkeypatch):
+        """--mesh + liteflownet through the real Pipeline: the engine
+        routes the correlation through its manual-SPMD entry point
+        (mesh 1x2 -> level 2 of the /32-padded 64x64 net has 8 output
+        rows per shard and engages the sharded kernel; coarser levels
+        fall back at trace time). GSPMD may retile conv reductions, so
+        agreement is near-exact, not bitwise: require ~every pixel equal."""
+        monkeypatch.setenv("TRANSFLOW_LITEFLOWNET_RANDOM", "1")
+        cv_cfg = str(tmp_path / "cv.json")
+        with open(cv_cfg, "w") as file:
+            json.dump({"method": "liteflownet"}, file)
+        outs = []
+        for idx, mesh in enumerate([None, "1x2"]):
+            out = str(tmp_path / f"mlfn{idx}-%03d.png")
+            cfg = Config(assets["video"], output_path=out, vcodec="mjpeg",
+                         cv_config=cv_cfg,
+                         pixmap_sources=[PixmapSourceConfig(assets["image"])],
+                         seed=37, mesh=mesh)
+            pipeline = run_pipeline(cfg, replace=True)
+            if mesh:
+                assert pipeline.engine.mesh is not None
+                step = pipeline.engine.runtimes[0].estimator_step
+                assert step is not None
+            outs.append(sorted(tmp_path.glob(f"mlfn{idx}-*.png")))
+        assert len(outs[0]) == len(outs[1]) == 11
+        for a, b in zip(*outs):
+            fa = cv2.imread(str(a)).astype(int)
+            fb = cv2.imread(str(b)).astype(int)
+            mismatch = (np.abs(fa - fb) > 2).mean()
+            assert mismatch < 0.02, (a.name, mismatch)
+
+
 class TestMultiFlow:
 
     def test_extra_flows_merge(self, assets, tmp_path):
