@@ -9,8 +9,11 @@ MAX_DISP*stride boundary rows of f2 exchanged via collective-permute
 tests pin bit-exactness against the unsharded kernel on the forced
 8-device CPU mesh, the stride-2 shard-parity reduction, the trace-time
 XLA fallback for indivisible levels, and the full network wired through
-``corr_mesh`` (the config engine.mesh_safe_estimator_kwargs selects for
---mesh liteflownet runs).
+``corr_mesh``. "Pinned" equality is ulp-level (rtol 0, atol 2e-7), not
+bitwise: every output pixel sees identical inputs, but the backend may
+retile the channel reduction for the different per-shard band shapes
+(fuzz-observed at c=32 on CPU interpret). corr_mesh is the config
+engine.mesh_safe_estimator_kwargs selects for --mesh liteflownet runs.
 """
 import numpy as np
 import pytest
@@ -31,20 +34,21 @@ def _rand(shape, seed, dtype=np.float32):
 
 class TestShardedKernelParity:
     @pytest.mark.parametrize("stride,h", [(1, 64), (2, 128)])
-    def test_bit_exact_vs_unsharded(self, stride, h):
+    @pytest.mark.parametrize("c", [16, 32])
+    def test_ulp_exact_vs_unsharded(self, stride, h, c):
         mesh = make_space_mesh(4)
-        f1 = _rand((h, 48, 16), 1)
-        f2 = _rand((h, 48, 16), 2)
+        f1 = _rand((h, 48, c), 1)
+        f2 = _rand((h, 48, c), 2)
         assert sharded_ok(h, 4, stride)
         want = np.asarray(pallas_correlation7x7(f1, f2, stride=stride,
                                                 interpret=True))
         got = np.asarray(sharded_pallas_correlation7x7(
             f1, f2, mesh, stride=stride, interpret=True))
-        np.testing.assert_array_equal(got, want)
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-7)
 
     def test_mixed_dtype_staging(self):
         """bf16 f1 x f32 f2 through the sharded path must match the
-        unsharded kernel exactly (same per-shard staging rules)."""
+        unsharded kernel (same per-shard staging rules)."""
         mesh = make_space_mesh(4)
         f1 = _rand((64, 48, 16), 3).astype(jnp.bfloat16)
         f2 = _rand((64, 48, 16), 4)
@@ -52,7 +56,7 @@ class TestShardedKernelParity:
                                                 interpret=True))
         got = np.asarray(sharded_pallas_correlation7x7(
             f1, f2, mesh, stride=1, interpret=True))
-        np.testing.assert_array_equal(got, want)
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-7)
 
     def test_edge_rows_get_zero_halo(self):
         """Content in the first/last MAX_DISP rows correlates against the
@@ -82,7 +86,7 @@ class TestDispatcher:
                                      mesh=mesh))
         want = np.asarray(pallas_correlation7x7(f1, f2, stride=1,
                                                 interpret=True))
-        np.testing.assert_array_equal(got, want)
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-7)
         # indivisible H (or tiny shards) falls back to the XLA formulation
         f1s = _rand((20, 48, 16), 7)
         f2s = _rand((20, 48, 16), 8)
@@ -109,7 +113,7 @@ class TestStreamSpaceComposition:
     def test_vmap_spmd_axis_over_sharded_corr(self):
         """The model path batches streams with vmap(spmd_axis_name=
         'stream') around the step; the shard_map'd correlation inside
-        must survive that batching bit-exactly."""
+        must survive that batching (ulp-level vs per-stream kernels)."""
         from transflow_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(8)
         rng = np.random.default_rng(3)
@@ -123,7 +127,7 @@ class TestStreamSpaceComposition:
             spmd_axis_name="stream")(f1, f2)
         want = np.stack([np.asarray(pallas_correlation7x7(
             f1[s], f2[s], stride=2, interpret=True)) for s in range(2)])
-        np.testing.assert_array_equal(np.asarray(out), want)
+        np.testing.assert_allclose(np.asarray(out), want, rtol=0, atol=2e-7)
 
     def test_sharded_scan_traces_with_corr_mesh(self, monkeypatch):
         """FlowTransferModel + sharded_scan with the estimator built on

@@ -149,9 +149,12 @@ def sharded_pallas_correlation7x7(f1, f2, mesh, stride: int = 1,
     rows of f2 with its neighbors over ICI (two collective-permutes of
     K*W*C bytes — the same neighbor-row pattern as ops/halo_gather), then
     running the unchanged band kernel on its (h/n + 2*halo)-row window.
-    Values are identical to the unsharded kernel: interior shards read
-    true neighbor rows, edge shards read the zeros ppermute delivers to
-    non-destinations — the global zero padding.
+    Every output pixel sees exactly the unsharded kernel's inputs:
+    interior shards read true neighbor rows, edge shards read the zeros
+    ppermute delivers to non-destinations — the global zero padding.
+    Agreement with the unsharded kernel is at f32 rounding (1-2 ulp):
+    the backend may retile the channel reduction for the different band
+    shapes (observed on CPU interpret at c=32; often bit-equal).
 
     Requires ``sharded_ok(h, mesh.shape[axis], stride)``; callers fall
     back to the XLA formulation otherwise (trace-time decision, static
