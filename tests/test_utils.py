@@ -226,3 +226,29 @@ class TestKernelAssets:
         np.testing.assert_allclose(
             np.asarray(conv2d_same(jnp.asarray(plane), kernel)), plane,
             atol=1e-6)
+
+
+class TestExpressionPrecision:
+    def test_scalar_math_is_double_precision(self):
+        """Plain-scalar expressions must evaluate with f64 math like the
+        reference's raw eval — the jnp-backed shim used to run trig in
+        f32, drifting at large arguments (fuzz-caught: cos(3124.5) off by
+        1e-4 relative)."""
+        import math
+        from transflow_tpu.utils.expr import parse_expression
+        expr = "math.cos((((t * t) ** 2) / (pi + 6.0)))"
+        got = float(parse_expression(expr, ["t"])(13.0))
+        want = math.cos((13.0 * 13.0) ** 2 / (math.pi + 6.0))
+        assert abs(got - want) < 1e-12
+
+    def test_array_arguments_still_dispatch_to_jnp(self):
+        import jax
+        import jax.numpy as jnp
+        from transflow_tpu.utils.expr import parse_expression
+        fn = parse_expression("math.sin(r) * math.cos(a) + t",
+                              ["t", "r", "a"])
+        rr = jnp.linspace(0, 3, 12).reshape(3, 4)
+        aa = jnp.linspace(-1, 1, 12).reshape(3, 4)
+        out = jax.jit(fn)(jnp.float32(0.5), rr, aa)
+        assert out.shape == (3, 4)
+        assert bool(jnp.isfinite(out).all())

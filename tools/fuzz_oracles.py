@@ -196,10 +196,54 @@ def backwarp_vs_torch():
           f"(worst ratio {worst:.2f})")
 
 
+def expressions_vs_raw_eval():
+    """Scalar expressions vs raw f64 eval (the reference's semantics) —
+    the sweep that caught the jnp-backed shim evaluating scalar trig in
+    f32 (cos(3124.5) off 1e-4 relative; fixed by scalar/array dispatch)."""
+    import math
+    from transflow_tpu.utils.expr import parse_expression
+    r = np.random.default_rng(0)
+    funcs = ["math.sin", "math.cos", "math.exp", "abs"]
+
+    def gen(depth=0):
+        roll = r.random()
+        if depth > 3 or roll < 0.3:
+            return r.choice(
+                ["t", str(round(float(r.uniform(0.1, 5.0)), 3)), "pi"])
+        if roll < 0.55:
+            return f"({gen(depth+1)} {r.choice(['+', '-', '*'])} " \
+                   f"{gen(depth+1)})"
+        if roll < 0.7:
+            return f"({gen(depth+1)} / ({gen(depth+1)} + 6.0))"
+        if roll < 0.85:
+            return f"{r.choice(funcs)}({gen(depth+1)})"
+        if roll < 0.95:
+            return f"min({gen(depth+1)}, {gen(depth+1)})"
+        return f"({gen(depth+1)} ** 2)"
+
+    env = {"math": math, "abs": abs, "min": min, "max": max, "pi": math.pi}
+    cases = 0
+    for _ in range(16 * N):
+        expr = gen()
+        for t in [0.0, 0.5, 1.7, 13.0]:
+            try:
+                want = eval(expr, {"__builtins__": {}}, {**env, "t": t})
+            except (ValueError, OverflowError, ZeroDivisionError):
+                continue
+            if not (isinstance(want, (int, float)) and math.isfinite(want)):
+                continue
+            got = float(parse_expression(expr, ["t"])(t))
+            assert abs(got - want) <= 1e-9 * max(1.0, abs(want)) + 1e-12, \
+                (expr, t, got, want)
+            cases += 1
+    print(f"expressions: {cases} scalar evaluations match raw f64 eval")
+
+
 if __name__ == "__main__":
     movement_flag_matrix()
     halo_gather()
     correlation_kernels()
     resize_vs_torch()
     backwarp_vs_torch()
+    expressions_vs_raw_eval()
     print("ALL FUZZ SWEEPS GREEN")

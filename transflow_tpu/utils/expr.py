@@ -16,6 +16,9 @@ import math
 import random
 from typing import Callable, Sequence
 
+import numpy as np
+
+import jax
 import jax.numpy as jnp
 
 _ALLOWED_NODES = (
@@ -32,7 +35,11 @@ _MODULES = {"math", "numpy", "np", "random"}
 
 
 class _MathShim:
-    """math-like namespace backed by jax.numpy so traced arrays work."""
+    """math-like namespace: f64 ``math`` for plain scalars (the reference
+    evaluates expressions with raw ``eval`` + math, double precision —
+    fuzzing caught jnp's f32 trig drifting at large arguments, e.g.
+    cos(3124.5) off by 1e-4 relative), jax.numpy when any argument is an
+    array/tracer so polar-filter expressions still trace."""
 
     pi = math.pi
     e = math.e
@@ -40,11 +47,22 @@ class _MathShim:
     inf = math.inf
 
     def __getattr__(self, name):
-        for ns in (jnp, math):
-            fn = getattr(ns, name, None)
-            if fn is not None:
-                return fn
-        raise AttributeError(name)
+        math_fn = getattr(math, name, None)
+        jnp_fn = getattr(jnp, name, None)
+        if math_fn is None and jnp_fn is None:
+            raise AttributeError(name)
+        if math_fn is None:
+            return jnp_fn
+        if jnp_fn is None:
+            return math_fn
+
+        def dispatch(*args, **kwargs):
+            if any(isinstance(a, (jax.Array, np.ndarray))
+                   for a in args):
+                return jnp_fn(*args, **kwargs)
+            return math_fn(*args, **kwargs)
+
+        return dispatch
 
 
 _GLOBALS = {
