@@ -239,6 +239,101 @@ def expressions_vs_raw_eval():
     print(f"expressions: {cases} scalar evaluations match raw f64 eval")
 
 
+def filters_vs_reference():
+    """scale/threshold/clip/polar over random params/sizes/expressions vs
+    the MOUNTED reference implementation (array expressions use the
+    numpy. prefix — the reference's raw eval crashes on math.cos(array),
+    so that is its real usable grammar)."""
+    if not os.path.isdir("/root/reference/transflow"):
+        print("filters: reference not mounted, skipped")
+        return
+    sys.path.insert(0, "/root/reference")
+    import transflow.flow.filters as rf
+    from transflow_tpu.flow.filters import FlowFilter
+    r = np.random.default_rng(0)
+    worst = 0.0
+    for seed in range(5 * N):
+        h, w = int(r.integers(3, 40)), int(r.integers(3, 40))
+        flow = (float(r.uniform(0.5, 8))
+                * r.standard_normal((h, w, 2))).astype(np.float32)
+        t = float(r.uniform(0, 3))
+        kind = seed % 4
+        if kind == 0:
+            p = round(float(r.uniform(-2, 3)), 3)
+            name, args, spec = "scale", (f"{p}+t",), f"scale={p}+t"
+        elif kind == 1:
+            p = round(float(r.uniform(0, 6)), 3)
+            name, args, spec = "threshold", (str(p),), f"threshold={p}"
+        elif kind == 2:
+            p = round(float(r.uniform(0.1, 6)), 3)
+            name, args, spec = "clip", (str(p),), f"clip={p}"
+        else:
+            e1 = r.choice(["r*2", "r+t", "r*numpy.cos(a)", "r"])
+            e2 = r.choice(["a+1", "a*0.5", "a+t", "a"])
+            name, args, spec = "polar", (e1, e2), f"polar={e1}:{e2}"
+        ref_out = flow.copy()
+        rf.FlowFilter.from_args(name, args).apply(ref_out, t)
+        ours = jnp.asarray(flow)
+        for f in FlowFilter.parse_many(spec):
+            ours = f(ours, jnp.float32(t))
+        err = float(np.abs(np.asarray(ours) - ref_out).max())
+        assert err < 5e-4, (seed, name, args, t, err)
+        worst = max(worst, err)
+    print(f"filters: {5 * N} cases vs the mounted reference "
+          f"(worst |err| {worst:.2e})")
+
+
+def masks_vs_reference():
+    """The mask DSL over randomized rule parameters vs the mounted
+    reference (bit-equal where the reference accepts the rule)."""
+    if not os.path.isdir("/root/reference/transflow"):
+        print("masks: reference not mounted, skipped")
+        return
+    sys.path.insert(0, "/root/reference")
+    from transflow.utils import load_float_mask as ref_mask
+    from transflow_tpu.utils import load_float_mask
+    r = np.random.default_rng(1)
+    cases = skipped = 0
+    for seed in range(10 * N):
+        h, w = int(r.integers(4, 60)), int(r.integers(4, 60))
+        kind = seed % 9
+        if kind == 0:
+            rule = f"border:{int(r.integers(1, min(h, w) // 2 + 1))}"
+        elif kind == 1:
+            rule = f"border:{int(r.integers(1, 49))}%"
+        elif kind == 2:
+            rule = "border:" + ":".join(
+                str(int(r.integers(0, max(h, w) // 2 + 1)))
+                for _ in range(4))
+        elif kind == 3:
+            side = r.choice(["top", "right", "bottom", "left"])
+            rule = f"border-{side}:{int(r.integers(1, 30))}%"
+        elif kind == 4:
+            rule = f"{r.choice(['hline', 'vline'])}:" \
+                   f"{int(r.integers(1, min(h, w)))}"
+        elif kind == 5:
+            rule = f"circle:{int(r.integers(1, min(h, w)))}"
+        elif kind == 6:
+            rule = f"circle:{int(r.integers(5, 60))}%"
+        elif kind == 7:
+            rule = f"rect:{int(r.integers(1, w))}:{int(r.integers(1, h))}"
+        else:
+            rule = f"grid:{int(r.integers(1, 6))}:{int(r.integers(1, 6))}" \
+                   f":{int(r.integers(2, 8))}"
+        if r.random() < 0.3:
+            rule += ":inv"
+        try:
+            want = np.asarray(ref_mask(rule, (h, w)), np.float32)
+        except Exception:
+            skipped += 1
+            continue
+        got = np.asarray(load_float_mask(rule, (h, w)), dtype=np.float32)
+        np.testing.assert_array_equal(got, want, err_msg=str((rule, h, w)))
+        cases += 1
+    print(f"masks: {cases} DSL cases bit-equal vs the mounted reference "
+          f"({skipped} rejected by it)")
+
+
 if __name__ == "__main__":
     movement_flag_matrix()
     halo_gather()
@@ -246,4 +341,6 @@ if __name__ == "__main__":
     resize_vs_torch()
     backwarp_vs_torch()
     expressions_vs_raw_eval()
+    filters_vs_reference()
+    masks_vs_reference()
     print("ALL FUZZ SWEEPS GREEN")
