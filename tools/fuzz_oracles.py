@@ -334,6 +334,39 @@ def masks_vs_reference():
           f"({skipped} rejected by it)")
 
 
+def merges_vs_reference():
+    """All 8 merge functions over random stack counts/sizes vs the
+    reference's pipeline table (bit-equal on the first full run)."""
+    if not os.path.isdir("/root/reference/transflow"):
+        print("merges: reference not mounted, skipped")
+        return
+    sys.path.insert(0, "/root/reference")
+    import transflow.pipeline as rp
+    from transflow_tpu.flow.merge import get_merge_function
+    names = ["first", "sum", "average", "difference", "product", "maskbin",
+             "masklin", "absmax"]
+    r = np.random.default_rng(2)
+    cases = 0
+    for seed in range(6 * N):
+        h, w = int(r.integers(3, 30)), int(r.integers(3, 30))
+        n = int(r.integers(1, 5))
+        flows = [(float(r.uniform(0.2, 6))
+                  * r.standard_normal((h, w, 2))).astype(np.float32)
+                 for _ in range(n)]
+        name = names[seed % len(names)]
+        try:  # reference merges mutate their inputs — feed copies
+            want = rp.Pipeline.FLOW_MERGING_FUNCTIONS[name](
+                [f.copy() for f in flows])
+        except Exception:
+            continue
+        got = np.asarray(get_merge_function(name)(
+            [jnp.asarray(f) for f in flows]))
+        np.testing.assert_allclose(got, np.asarray(want, np.float32),
+                                   atol=1e-5, err_msg=str((seed, name, n)))
+        cases += 1
+    print(f"merges: {cases} cases vs the mounted reference")
+
+
 if __name__ == "__main__":
     movement_flag_matrix()
     halo_gather()
@@ -343,4 +376,5 @@ if __name__ == "__main__":
     expressions_vs_raw_eval()
     filters_vs_reference()
     masks_vs_reference()
+    merges_vs_reference()
     print("ALL FUZZ SWEEPS GREEN")
