@@ -367,6 +367,42 @@ def merges_vs_reference():
     print(f"merges: {cases} cases vs the mounted reference")
 
 
+def renders_vs_reference():
+    """render1d (bit-equal incl. random custom colors/binary) and
+    render2d (within 1 uint8 step; first full run hit 0) over random
+    magnitudes/flows/scales vs the mounted reference."""
+    if not os.path.isdir("/root/reference/transflow"):
+        print("renders: reference not mounted, skipped")
+        return
+    sys.path.insert(0, "/root/reference")
+    import transflow.output.render as rr
+    from transflow_tpu.ops.render import render1d, render2d
+    r = np.random.default_rng(5)
+    for seed in range(5 * N):
+        h, w = int(r.integers(3, 48)), int(r.integers(3, 48))
+        scale = round(float(r.uniform(0.02, 1.5)), 3)
+        if seed % 2 == 0:
+            mag = (float(r.uniform(0.5, 8))
+                   * r.random((h, w))).astype(np.float32)
+            binary = bool(r.random() < 0.3)
+            colors = None if r.random() < 0.5 else (
+                "#%06x" % int(r.integers(0, 1 << 24)),
+                "#%06x" % int(r.integers(0, 1 << 24)))
+            want = rr.render1d(mag.copy(), scale, colors, binary)
+            got = np.asarray(render1d(jnp.asarray(mag), scale, colors,
+                                      binary))
+            np.testing.assert_array_equal(
+                got, want, err_msg=str((seed, scale, binary, colors)))
+        else:
+            flow = (float(r.uniform(0.5, 8))
+                    * r.standard_normal((h, w, 2))).astype(np.float32)
+            want = rr.render2d(flow.copy(), scale)
+            got = np.asarray(render2d(jnp.asarray(flow), scale))
+            d = int(np.abs(got.astype(int) - want.astype(int)).max())
+            assert d <= 1, (seed, scale, d)
+    print(f"renders: {5 * N} cases vs the mounted reference")
+
+
 if __name__ == "__main__":
     movement_flag_matrix()
     halo_gather()
@@ -377,4 +413,5 @@ if __name__ == "__main__":
     filters_vs_reference()
     masks_vs_reference()
     merges_vs_reference()
+    renders_vs_reference()
     print("ALL FUZZ SWEEPS GREEN")
