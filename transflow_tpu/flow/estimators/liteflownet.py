@@ -640,12 +640,22 @@ def liteflownet(prev_gray_or_rgb, next_gray_or_rgb, *,
                 warp_bound: int | None = None,
                 warp_kernel: str | None = None,
                 corr_kernel: str | None = None,
-                corr_mesh=None):
+                corr_mesh=None,
+                scale: float = 1.0):
     """Estimate (H, W, 2) flow. Accepts RGB (H, W, 3) or grayscale uint8.
 
     Parity: liteflownet.py:614-647 (estimate + calc_optical_flow_...):
     pad to /32 via bilinear resize, run, resize back, rescale magnitudes.
     NOTE: the reference feeds BGR (frame[:, :, ::-1]); we match.
+
+    ``scale`` (config key ``lfn_scale``, default 1.0 = reference parity):
+    run the network at a reduced internal resolution — a speed/accuracy
+    knob the reference doesn't offer (its lk_step is the analogous knob
+    for Lucas-Kanade). The estimate() contract already resizes the net's
+    output back to the caller's resolution and rescales magnitudes, so a
+    scaled run reuses exactly that path; 0.5 cuts the network's work
+    ~4x. The network remains exact at scale=1.0 (the /32 pad rounds UP,
+    so parity inputs are untouched).
 
     ``params``: pass the weights pytree explicitly when calling from inside
     an outer jit (engine step / chunk scan) so they stay program ARGUMENTS.
@@ -658,8 +668,10 @@ def liteflownet(prev_gray_or_rgb, next_gray_or_rgb, *,
     img1 = _to_rgb01(prev_gray_or_rgb)
     img2 = _to_rgb01(next_gray_or_rgb)
     h, w = img1.shape[:2]
-    ph = int(np.ceil(h / 32.0) * 32)
-    pw = int(np.ceil(w / 32.0) * 32)
+    if not 0.0 < scale <= 1.0:
+        raise ValueError(f"lfn_scale must be in (0, 1], got {scale}")
+    ph = max(32, int(np.ceil(h * scale / 32.0) * 32))
+    pw = max(32, int(np.ceil(w * scale / 32.0) * 32))
     traced = isinstance(img1, jax.core.Tracer)
     if params is None:
         params = _get_variables((ph, pw), allow_random, as_numpy=traced)

@@ -27,7 +27,7 @@ class CvFlowConfig:
         fb_poly_n=5, fb_poly_sigma=1.2, fb_flags=0,
         hs_alpha=1.0, hs_iterations=3, hs_decay=0.0, hs_delta=1.0,
         lk_window_size=15, lk_max_level=2, lk_step=1,
-        lfn_warp_bound=0,
+        lfn_warp_bound=0, lfn_scale=1.0,
     )
 
     def __init__(self, show_window: bool = False, **kwargs):
@@ -43,6 +43,9 @@ class CvFlowConfig:
             # all motion to +-3 px — refuse up front like --halo < 0
             raise ValueError(
                 f"lfn_warp_bound must be >= 0, got {self.lfn_warp_bound}")
+        if not 0.0 < float(self.lfn_scale) <= 1.0:
+            raise ValueError(
+                f"lfn_scale must be in (0, 1], got {self.lfn_scale}")
         self.show_window = show_window
         self.window = None
         self.version = 0  # bumped by the tuning window; engine re-jits
@@ -97,7 +100,8 @@ class CvFlowConfig:
             # path, overriding any TRANSFLOW_LITEFLOWNET_WARP_BOUND env
             # (the env fallback only applies to direct API calls that
             # leave warp_bound unset).
-            return dict(warp_bound=int(self.lfn_warp_bound))
+            return dict(warp_bound=int(self.lfn_warp_bound),
+                        scale=float(self.lfn_scale))
         return {}
 
 

@@ -28,6 +28,7 @@ FIELDS = [
     ("lk_max_level", "LK max level", "int", (0, 5)),
     ("lk_step", "LK step", "int", (1, 32)),
     ("lfn_warp_bound", "LFN warp bound (0=exact)", "int", (0, 32)),
+    ("lfn_scale", "LFN scale (1=exact)", "float", (0.1, 1.0)),
 ]
 
 FIELD_KINDS = {attr: kind for attr, _, kind, _ in FIELDS}
