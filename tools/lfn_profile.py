@@ -100,6 +100,16 @@ def main():
         return model.apply(variables, i1, i2)
     chain_time("full_net", full, (img1, img2), n=max(4, N // 3))
 
+    # the lfn_scale=0.5 product knob: entry-point path incl. the input
+    # downscale and the flow upscale back to full resolution
+    try:
+        chain_time("full_net_scale05",
+                   lambda a, b: lfn.liteflownet(
+                       a, b, allow_random=True, warp_bound=0, scale=0.5),
+                   (img1, img2), n=max(4, N // 3))
+    except TypeError:
+        pass  # older checkout without lfn_scale
+
     # features trunk (shared weights, two calls per frame-pair in the net)
     feat_mod = lfn.Features()
     fvars = feat_mod.init(jax.random.PRNGKey(0), img1)
