@@ -7,7 +7,9 @@ including REAL torch (cpu) for the two ops whose semantics come from the
 published LiteFlowNet weights. Run time ~5-10 min on CPU; exits non-zero
 on the first violation.
 
-Findings from the first full run (2026-08-18, all sweeps green):
+Soak status: N=40 run (2026-08-18) — ~4,500 randomized cases across the
+ten sweeps, zero violations. Findings from the first full run (same
+day, which drove two fixes):
 - movement flag matrix (384 cases), bounded_row_gather (40): bit-exact;
 - sharded-vs-unsharded correlation: 1-2 ulp differences at c=32 (the
   backend retiles the channel reduction per band shape) — the tests'
