@@ -236,7 +236,11 @@ def bench_tpu(watchdog=None) -> dict:
     # quickly or the grace period ends; measurement proceeds either way,
     # but the final chunk RTT feeds the record's healthy verdict.
     progress("chunk-gate")
-    gate_deadline = time.monotonic() + 600.0
+    # overridable: a supervising capture loop that has ALREADY probed the
+    # regime can shorten the gate so refused attempts return to polling
+    # fast instead of burning the full grace period per attempt
+    gate_deadline = time.monotonic() + float(
+        os.environ.get("TRANSFLOW_BENCH_CHUNK_GATE", "600"))
     chunk_no = [1000]
     while True:
         start = time.perf_counter()

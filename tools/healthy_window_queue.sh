@@ -1,10 +1,26 @@
 #!/bin/bash
-# Healthy-window capture loop: probe the tunnel every ~7 min; when a
-# window opens (small AND heavy probes fast — a small probe alone proves
+# Healthy-window capture loop: probe the tunnel every ~2.5 min; when a
+# TRULY healthy window opens (small < 0.25 s AND heavy < 1.0 s — the
+# signature bench.py's own gates demand; a small probe alone proves
 # liveness, not speed: BASELINE.md), run the measurement queue in value
 # order: driver-format bench record first, then kernel validation and
-# the per-module profile. Sick windows yield honest refusal records and
-# the loop retries at the next window. Stop with: kill $(cat "$PID").
+# the per-module profile.
+#
+# Calibration (round 3): a looser bar (heavy < 20 s) launched ~55-min
+# bench attempts inside the ~3 s-quantized regime; every one was
+# correctly refused by bench.py's 2 s chunk gate, and each launch
+# blocked the loop long enough to miss any short healthy window. The
+# bar here matches what the bench will actually accept.
+#
+# Fallback: if no healthy window appears, one DEGRADED attempt (fast-fail
+# envs: 60 s tunnel wait, 120 s chunk gate, no internal retry — the loop
+# is the retry) runs at most every 2 h when the regime is at least alive
+# (heavy < 8 s), so the round always has fresh refusal diagnostics even
+# if no window ever opens.
+#
+# Every attempt's record is preserved under $OUT/attempts/ — a later
+# attempt must never overwrite the evidence of an earlier one.
+# Stop with: kill $(cat "$PID").
 #
 # Usage: tools/healthy_window_queue.sh [outdir]   (default /tmp/healthy_runs)
 set -u
@@ -12,9 +28,29 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 OUT="${1:-/tmp/healthy_runs}"
 PID="$OUT/loop.pid"
 LOG="$OUT/health_log.txt"
-mkdir -p "$OUT"
+mkdir -p "$OUT/attempts"
 echo $$ > "$PID"
 QUEUE_DONE="$OUT/queue_done"
+LAST_DEGRADED=0
+
+run_bench() {  # $1 = tag (healthy|degraded), envs preset by caller
+  local tag="$1" stamp rc
+  stamp="$(date +%s)"
+  local json="$OUT/attempts/bench_${tag}_${stamp}.json"
+  cd "$REPO"
+  timeout 4500 python bench.py --e2e > "$json" 2> "${json%.json}.err"
+  rc=$?
+  echo "$(date +%H:%M:%S) bench($tag) done rc=$rc -> $json" >> "$LOG"
+  cp -f "$json" "$OUT/bench.json"
+  python - "$json" <<'PY'
+import json, sys
+try:
+    line = [l for l in open(sys.argv[1]) if l.strip()][-1]
+    sys.exit(0 if json.loads(line).get('healthy') else 1)
+except Exception:
+    sys.exit(1)
+PY
+}
 
 while true; do
   ts=$(date +%H:%M:%S)
@@ -23,33 +59,33 @@ while true; do
   echo "$ts $(echo $out)" >> "$LOG"
   small=$(echo "$out" | sed -n 's/^small=\([0-9.]*\).*/\1/p')
   heavy=$(echo "$out" | sed -n 's/^heavy=\([0-9.]*\).*/\1/p')
-  if [ -n "$small" ] && [ -n "$heavy" ] && [ ! -f "$QUEUE_DONE" ] && \
-     python -c "import sys; sys.exit(0 if float('$small') < 2.0 and float('$heavy') < 20.0 else 1)"; then
-    echo "$ts window (small=$small heavy=$heavy) — running queue" >> "$LOG"
-    cd "$REPO"
-    timeout 4500 python bench.py --e2e > "$OUT/bench.json" 2> "$OUT/bench.err"
-    echo "$(date +%H:%M:%S) bench done rc=$?" >> "$LOG"
-    if python - "$OUT/bench.json" <<'PY'
-import json, sys
-try:
-    line = [l for l in open(sys.argv[1]) if l.strip()][-1]
-    sys.exit(0 if json.loads(line).get('healthy') else 1)
-except Exception:
-    sys.exit(1)
-PY
-    then
-      echo "$(date +%H:%M:%S) bench HEALTHY — finishing queue" >> "$LOG"
-      timeout 600 python "$REPO/tools/mosaic_check.py" > "$OUT/mosaic.txt" 2>&1
-      echo "$(date +%H:%M:%S) mosaic done rc=$?" >> "$LOG"
-      timeout 1800 python "$REPO/tools/mxu_warp_bench.py" > "$OUT/warp_ab.txt" 2>&1
-      echo "$(date +%H:%M:%S) warp A/B done rc=$?" >> "$LOG"
-      timeout 3000 python "$REPO/tools/lfn_profile.py" 12 > "$OUT/lfn_profile.json" 2> "$OUT/lfn_profile.err"
-      echo "$(date +%H:%M:%S) profile done rc=$?" >> "$LOG"
-      touch "$QUEUE_DONE"
-      touch "$OUT/HEALTHY_CAPTURED"
-    else
-      echo "$(date +%H:%M:%S) bench refused — will retry next window" >> "$LOG"
+  if [ -n "$small" ] && [ -n "$heavy" ] && [ ! -f "$QUEUE_DONE" ]; then
+    if python -c "import sys; sys.exit(0 if float('$small') < 0.25 and float('$heavy') < 1.0 else 1)"; then
+      echo "$ts HEALTHY window (small=$small heavy=$heavy) — full queue" >> "$LOG"
+      if run_bench healthy; then
+        echo "$(date +%H:%M:%S) bench HEALTHY — finishing queue" >> "$LOG"
+        timeout 600 python "$REPO/tools/mosaic_check.py" > "$OUT/mosaic.txt" 2>&1
+        echo "$(date +%H:%M:%S) mosaic done rc=$?" >> "$LOG"
+        timeout 1800 python "$REPO/tools/mxu_warp_bench.py" > "$OUT/warp_ab.txt" 2>&1
+        echo "$(date +%H:%M:%S) warp A/B done rc=$?" >> "$LOG"
+        timeout 3000 python "$REPO/tools/lfn_profile.py" 12 > "$OUT/lfn_profile.json" 2> "$OUT/lfn_profile.err"
+        echo "$(date +%H:%M:%S) profile done rc=$?" >> "$LOG"
+        touch "$QUEUE_DONE"
+        touch "$OUT/HEALTHY_CAPTURED"
+      else
+        echo "$(date +%H:%M:%S) bench refused — regime soured mid-run; back to polling" >> "$LOG"
+      fi
+    elif python -c "import sys; sys.exit(0 if float('$heavy') < 8.0 else 1)" \
+         && [ $(( $(date +%s) - LAST_DEGRADED )) -ge 7200 ]; then
+      LAST_DEGRADED=$(date +%s)
+      echo "$ts degraded attempt (small=$small heavy=$heavy) — fast-fail envs" >> "$LOG"
+      if TRANSFLOW_BENCH_TUNNEL_WAIT=60 TRANSFLOW_BENCH_CHUNK_GATE=120 \
+         TRANSFLOW_BENCH_RETRY=0 run_bench degraded; then
+        # the regime recovered mid-attempt and produced a healthy record
+        touch "$QUEUE_DONE"
+        touch "$OUT/HEALTHY_CAPTURED"
+      fi
     fi
   fi
-  sleep 420
+  sleep 150
 done
