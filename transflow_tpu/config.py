@@ -3,6 +3,12 @@
 Parity reference: transflow/config.py (PixmapSourceConfig :11-46, LayerConfig
 :57-157, Config :160-341). All four front-ends (CLI flags, JSON config files,
 GUI JSON, Python API) converge on this object, exactly like the reference.
+
+The dict round-trip is schema-driven: each class lists its JSON fields once
+in ``_FIELDS`` as ``(key, fromdict_default)`` rows — the key set (and the
+key-per-attribute identity) is the interchange contract with the reference's
+exported configs, so ``todict``/``fromdict`` derive from the table instead of
+spelling every key three times.
 """
 import os
 import random
@@ -25,8 +31,35 @@ def parse_bool_arg(arg, default: bool) -> bool:
     return bool(arg)
 
 
-class PixmapSourceConfig:
+class _DictSchema:
+    """Dict round-trip derived from ``_FIELDS``: ``(key, default)`` rows
+    where every key is both the JSON name and the attribute name, the first
+    row is the single required positional, and ``default`` is what
+    ``fromdict`` feeds the constructor when the key is absent (constructors
+    normalize ``None`` themselves)."""
+
+    _FIELDS: tuple = ()
+
+    def todict(self) -> dict:
+        return {key: getattr(self, key) for key, _ in self._FIELDS}
+
+    @classmethod
+    def fromdict(cls, d: dict):
+        (required, _), *rest = cls._FIELDS
+        return cls(d[required], **{k: d.get(k, dv) for k, dv in rest})
+
+
+class PixmapSourceConfig(_DictSchema):
     """One pixmap source bound to one or more layers."""
+
+    _FIELDS = (
+        ("path", None),
+        ("seek_time", None),
+        ("alteration_path", None),
+        ("introduction_path", None),
+        ("repeat", 1),
+        ("layers", None),
+    )
 
     def __init__(self,
                  path: str,
@@ -42,32 +75,25 @@ class PixmapSourceConfig:
         self.repeat = 1 if repeat is None else repeat
         self.layers = [0] if layers is None else layers
 
-    @classmethod
-    def fromdict(cls, d: dict) -> "PixmapSourceConfig":
-        return cls(
-            d["path"],
-            seek_time=d.get("seek_time"),
-            alteration_path=d.get("alteration_path"),
-            introduction_path=d.get("introduction_path"),
-            repeat=d.get("repeat", 1),
-            layers=d.get("layers"),
-        )
 
-    def todict(self) -> dict:
-        return {
-            "path": self.path,
-            "seek_time": self.seek_time,
-            "alteration_path": self.alteration_path,
-            "introduction_path": self.introduction_path,
-            "repeat": self.repeat,
-            "layers": self.layers,
-        }
-
-
-class LayerConfig:
+class LayerConfig(_DictSchema):
     """One compositor layer: class, movement flags, reset and introduction rules."""
 
     CLASSNAMES = ("moveref", "introduction", "static", "sum")
+
+    # (key, fromdict default); grouped: identity/masks, movement flags,
+    # reset rules, introduction rules — defaults for the flag/number
+    # fields live in __init__'s None-handling, so fromdict passes None.
+    _FIELDS = tuple((key, None) for key in (
+        "index", "classname", "mask_src", "mask_dst", "mask_alpha",
+        "transparent_pixels_can_move", "pixels_can_move_to_empty_spot",
+        "pixels_can_move_to_filled_spot", "moving_pixels_leave_empty_spot",
+        "reset_mode", "reset_mask", "reset_random_factor",
+        "reset_constant_step", "reset_linear_factor", "reset_source",
+        "introduce_pixels_on_empty_spots", "introduce_pixels_on_filled_spots",
+        "introduce_moving_pixels", "introduce_unmoving_pixels",
+        "introduce_once", "introduce_on_all_filled_spots",
+        "introduce_on_all_empty_spots"))
 
     def __init__(self,
                  index: int,
@@ -115,49 +141,45 @@ class LayerConfig:
         self.introduce_on_all_filled_spots = parse_bool_arg(introduce_on_all_filled_spots, False)
         self.introduce_on_all_empty_spots = parse_bool_arg(introduce_on_all_empty_spots, False)
 
-    @classmethod
-    def fromdict(cls, d: dict) -> "LayerConfig":
-        kwargs = {k: d.get(k) for k in (
-            "classname", "mask_alpha", "mask_src", "mask_dst",
-            "transparent_pixels_can_move", "pixels_can_move_to_empty_spot",
-            "pixels_can_move_to_filled_spot", "moving_pixels_leave_empty_spot",
-            "reset_mode", "reset_mask", "reset_random_factor",
-            "reset_constant_step", "reset_linear_factor", "reset_source",
-            "introduce_pixels_on_empty_spots", "introduce_pixels_on_filled_spots",
-            "introduce_moving_pixels", "introduce_unmoving_pixels",
-            "introduce_once", "introduce_on_all_filled_spots",
-            "introduce_on_all_empty_spots")}
-        return cls(d["index"], **kwargs)
 
-    def todict(self) -> dict:
-        return {
-            "index": self.index,
-            "classname": self.classname,
-            "mask_src": self.mask_src,
-            "mask_dst": self.mask_dst,
-            "mask_alpha": self.mask_alpha,
-            "transparent_pixels_can_move": self.transparent_pixels_can_move,
-            "pixels_can_move_to_empty_spot": self.pixels_can_move_to_empty_spot,
-            "pixels_can_move_to_filled_spot": self.pixels_can_move_to_filled_spot,
-            "moving_pixels_leave_empty_spot": self.moving_pixels_leave_empty_spot,
-            "reset_mode": self.reset_mode,
-            "reset_mask": self.reset_mask,
-            "reset_random_factor": self.reset_random_factor,
-            "reset_constant_step": self.reset_constant_step,
-            "reset_linear_factor": self.reset_linear_factor,
-            "reset_source": self.reset_source,
-            "introduce_pixels_on_empty_spots": self.introduce_pixels_on_empty_spots,
-            "introduce_pixels_on_filled_spots": self.introduce_pixels_on_filled_spots,
-            "introduce_moving_pixels": self.introduce_moving_pixels,
-            "introduce_unmoving_pixels": self.introduce_unmoving_pixels,
-            "introduce_once": self.introduce_once,
-            "introduce_on_all_filled_spots": self.introduce_on_all_filled_spots,
-            "introduce_on_all_empty_spots": self.introduce_on_all_empty_spots,
-        }
-
-
-class Config:
+class Config(_DictSchema):
     """Top-level render configuration (flow + pixmaps + layers + outputs)."""
+
+    _FIELDS = (
+        # flow
+        ("flow_path", None),
+        ("extra_flow_paths", None),
+        ("flows_merging_function", "first"),
+        ("use_mvs", False),
+        ("mask_path", None),
+        ("kernel_path", None),
+        ("cv_config", None),
+        ("flow_filters", None),
+        ("direction", "forward"),
+        ("seek_time", None),
+        ("duration_time", None),
+        ("repeat", 1),
+        ("lock_expr", None),
+        ("lock_mode", None),
+        # pixmaps + compositor (nested fields overridden below)
+        ("pixmap_sources", None),
+        ("layers", None),
+        ("compositor_background", None),
+        # outputs
+        ("output_path", None),
+        ("vcodec", "h264"),
+        ("size", None),
+        ("view_flow", False),
+        ("view_flow_magnitude", False),
+        ("render_scale", 1),
+        ("render_colors", None),
+        ("render_binary", False),
+        # general + TPU-specific
+        ("seed", None),
+        ("batch_frames", None),
+        ("mesh", None),
+        ("halo", None),
+    )
 
     def __init__(self,
                  flow_path: str,
@@ -232,7 +254,7 @@ class Config:
                     self.layers.append(LayerConfig(layer_index))
                     layer_indices.add(layer_index)
         self.compositor_background = (
-            "#FFFFFF" if compositor_background is None else compositor_background)
+            "#ffffff" if compositor_background is None else compositor_background)
 
         # Output args
         self.output_path = (
@@ -265,74 +287,25 @@ class Config:
 
     @classmethod
     def fromdict(cls, d: dict) -> "Config":
-        return cls(
-            d["flow_path"],
-            extra_flow_paths=d.get("extra_flow_paths"),
-            flows_merging_function=d.get("flows_merging_function", "first"),
-            use_mvs=d.get("use_mvs", False),
-            mask_path=d.get("mask_path"),
-            kernel_path=d.get("kernel_path"),
-            cv_config=d.get("cv_config"),
-            flow_filters=d.get("flow_filters"),
-            direction=d.get("direction", "forward"),
-            seek_time=d.get("seek_time"),
-            duration_time=d.get("duration_time"),
-            to_time=d.get("to_time"),
-            repeat=d.get("repeat", 1),
-            lock_expr=d.get("lock_expr"),
-            lock_mode=d.get("lock_mode", LockMode.STAY),
+        kwargs = {k: d.get(k, dv) for k, dv in cls._FIELDS[1:]}
+        kwargs.update(
+            to_time=d.get("to_time"),  # constructor-only: folds into duration
             pixmap_sources=[PixmapSourceConfig.fromdict(x)
-                            for x in d.get("pixmap_sources", [])],
-            layers=[LayerConfig.fromdict(x) for x in d.get("layers", [])],
-            compositor_background=d.get("compositor_background", "#ffffff"),
-            output_path=d.get("output_path"),
-            vcodec=d.get("vcodec", "h264"),
-            size=d.get("size"),
-            view_flow=d.get("view_flow", False),
-            view_flow_magnitude=d.get("view_flow_magnitude", False),
-            render_scale=d.get("render_scale", 1),
-            render_colors=d.get("render_colors"),
-            render_binary=d.get("render_binary", False),
-            seed=d.get("seed"),
-            batch_frames=d.get("batch_frames"),
-            mesh=d.get("mesh"),
-            halo=d.get("halo"),
-        )
+                            for x in d.get("pixmap_sources") or []],
+            layers=[LayerConfig.fromdict(x) for x in d.get("layers") or []])
+        return cls(d["flow_path"], **kwargs)
 
     def todict(self) -> dict:
-        return {
-            "flow_path": self.flow_path,
-            "extra_flow_paths": self.extra_flow_paths,
-            "flows_merging_function": self.flows_merging_function,
-            "use_mvs": self.use_mvs,
-            "mask_path": self.mask_path,
-            "kernel_path": self.kernel_path,
-            "cv_config": self.cv_config,
-            "flow_filters": self.flow_filters,
-            "direction": self.direction.value,
-            "seek_time": self.seek_time,
-            "duration_time": self.duration_time,
-            "repeat": self.repeat,
-            "lock_expr": self.lock_expr,
-            "lock_mode": self.lock_mode.value,
-            "pixmap_sources": [x.todict() for x in self.pixmap_sources],
-            "layers": [x.todict() for x in self.layers],
-            "compositor_background": self.compositor_background,
-            "output_path": self.output_path,
-            "vcodec": self.vcodec,
-            "size": self.size,
-            "view_flow": self.view_flow,
-            "view_flow_magnitude": self.view_flow_magnitude,
-            "render_scale": self.render_scale,
-            "render_colors": self.render_colors,
-            "render_binary": self.render_binary,
-            "seed": self.seed,
-            "batch_frames": self.batch_frames,
-            "mesh": self.mesh,
-            "halo": self.halo,
-            "timestamp": time.time(),
-            "command": {"executable": sys.executable, "argv": sys.argv},
-        }
+        d = super().todict()
+        d.update(
+            direction=self.direction.value,
+            lock_mode=self.lock_mode.value,
+            pixmap_sources=[x.todict() for x in self.pixmap_sources],
+            layers=[x.todict() for x in self.layers],
+            # provenance extras (ignored by fromdict)
+            timestamp=time.time(),
+            command={"executable": sys.executable, "argv": sys.argv})
+        return d
 
     def get_secondary_output_path(self, suffix: str) -> str:
         """Derive .flow.zip/.ckpt.zip/.config.json sibling paths.
