@@ -382,6 +382,126 @@ def bench_tpu(watchdog=None) -> dict:
     }
 
 
+def slope_fit(ns, ts, chunk_frames=CHUNK) -> dict:
+    """Regress elapsed-vs-N over chained-chunk samples and classify the
+    regime. Pure (testable) core of the slope methodology.
+
+    The poll-cycle tunnel regime (BASELINE.md) adds a large, roughly
+    CONSTANT completion latency to every host-visible readback while the
+    device computes at full speed between polls. A single timed sample is
+    then dominated by that quantum — but the quantum is an INTERCEPT, not
+    a slope: timing N chained chunk dispatches (one value readback at the
+    end) for several N and regressing elapsed-vs-N cancels every constant
+    term, leaving the true marginal cost of one chunk. fps = chunk/slope.
+
+    Verdicts:
+    - ``device-throughput``: the fit is tight and the slope is in the
+      plausible device band — the damage was readback-only and the slope
+      fps IS the device throughput.
+    - ``poll-serialized``: the slope itself is seconds — dispatches
+      serialize on the poll cycle; nothing can be measured.
+    - ``unmeasurable``: bad fit (wandering quantum) or non-physical
+      slope; no number should be printed.
+    """
+    ns_arr = np.asarray(ns, np.float64)
+    ts_arr = np.asarray(ts, np.float64)
+    if len(ns_arr) < 4 or len(set(ns)) < 3:
+        return {"verdict": "unmeasurable", "reason": "too few points",
+                "n_points": int(len(ns_arr))}
+    slope, intercept = np.polyfit(ns_arr, ts_arr, 1)
+    pred = slope * ns_arr + intercept
+    ss_res = float(np.sum((ts_arr - pred) ** 2))
+    ss_tot = float(np.sum((ts_arr - ts_arr.mean()) ** 2))
+    r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
+    fps = chunk_frames / slope if slope > 0 else 0.0
+    verdict = "unmeasurable"
+    if slope > 0 and r2 > 0.98:
+        # a healthy 16-frame 1080p chunk is sub-ms of device time; the
+        # quantized regime's quantum is seconds — three orders of
+        # magnitude apart, so 50 ms/chunk cleanly splits the regimes.
+        # Physical ceiling: frame IO alone (~8.3 MB/frame) caps genuine
+        # throughput near the ~819 GB/s HBM wall (~99k fps); a slope
+        # implying far beyond that is an artifact, not a measurement.
+        if slope >= 0.05:
+            verdict = "poll-serialized"
+        elif fps < 2.0 * 819e9 / (4.0 * HEIGHT * WIDTH):
+            verdict = "device-throughput"
+    return {
+        "verdict": verdict,
+        "value": round(fps, 1),
+        "slope_s_per_chunk": round(float(slope), 6),
+        "intercept_s": round(float(intercept), 3),
+        "r2": round(r2, 4),
+        "n_points": int(len(ns_arr)),
+        "samples": [[int(n), round(t, 3)] for n, t in zip(ns, ts)],
+    }
+
+
+def bench_slope(watchdog=None, budget_s: float = 600.0,
+                grid=(4, 8, 16, 32, 64), passes: int = 3) -> dict:
+    """Slope-methodology fallback measurement (see ``slope_fit``).
+
+    Runs passes over ``grid`` chained-chunk samples — distinct inputs,
+    keys and chunk numbers per dispatch, the state chain serializing
+    every dispatch, ONE value readback per sample — aborting between
+    samples once ``budget_s`` is spent (a partial grid still fits; in the
+    poll-serialized regime one pass alone proves the verdict)."""
+    import jax
+    import jax.numpy as jnp
+    from transflow_tpu.config import LayerConfig
+    from transflow_tpu.flow import Direction
+    from transflow_tpu.model import FlowTransferModel
+
+    model = FlowTransferModel(
+        HEIGHT, WIDTH,
+        [LayerConfig(0, reset_mode="random", reset_random_factor=0.01)],
+        {0: [(3, np.ones((HEIGHT, WIDTH), bool))]},
+        method="farneback", estimator_kwargs={},
+        direction=Direction.BACKWARD)
+    frames = make_frames(CHUNK + 1)
+    state = model.init_state(frames[0])
+    gray_sets = [jax.device_put(jnp.asarray(make_frames(CHUNK, seed=s)))
+                 for s in range(GRAY_SETS)]
+    pixmaps = model.default_pixmaps()
+    keys = jax.random.split(jax.random.key(1), max(grid))
+
+    deadline = time.monotonic() + budget_s
+    if watchdog is not None:
+        watchdog.rearm("slope-compile")
+    state, rgbs = model.jit_scan(state, gray_sets[0], pixmaps,
+                                 jnp.float32(0.0), keys[0])
+    int(np.asarray(rgbs[-1, 0, 0, 0]))  # compile + one warm chain
+    holder = {"state": state, "t": 5000}
+
+    def sample(n):
+        start = time.perf_counter()
+        current = holder["state"]
+        for i in range(n):
+            current, rgbs = model.jit_scan(
+                current, gray_sets[i % GRAY_SETS], pixmaps,
+                jnp.float32(holder["t"] + i), keys[i])
+        holder["t"] += n
+        int(np.asarray(rgbs[-1, 0, 0, 0]))
+        holder["state"] = current
+        return time.perf_counter() - start
+
+    ns, ts = [], []
+    for _ in range(passes):
+        for n in grid:
+            if ns and time.monotonic() > deadline:
+                break
+            if watchdog is not None:
+                watchdog.rearm(f"slope-sample-n{n}")
+            ns.append(n)
+            ts.append(sample(n))
+        if time.monotonic() > deadline:
+            break
+    out = slope_fit(ns, ts)
+    out["metric"] = "1080p_slope_fps_flow_warp_composite"
+    out["unit"] = "frames/sec"
+    return out
+
+
 def _bench_liteflownet(n_chain: int = 8, height: int = 1088,
                        width: int = 1920) -> dict:
     """LiteFlowNet 1088p ms/frame via an n-deep data-dependent chain
@@ -622,7 +742,7 @@ def main():
             pass
     healthy_path = os.path.join(_repo_dir(), ".bench_last_healthy.json")
 
-    def refusal_record(tpu):
+    def refusal_record(tpu, slope=None):
         # REFUSAL record: a sick-regime number is the infrastructure, not
         # the framework — never print it as a bare plausible-looking value.
         # Attach the most recent HEALTHY capture (clearly labelled with its
@@ -645,11 +765,47 @@ def main():
                                  "(BASELINE.md, same binary)",
             "last_healthy_record": load_last_healthy(healthy_path),
         }
+        if slope is not None:
+            # the slope probe's verdict distinguishes readback-only damage
+            # from dispatch serialization — keep its evidence in the record
+            out["slope_probe"] = slope
         if "--e2e" in sys.argv:
             out["e2e_skipped"] = ("flagship verdict unhealthy — e2e "
                                   "would measure the sick tunnel, not "
                                   "the CLI")
         return out
+
+    def slope_record(tpu, slope):
+        # The standard gate refused, but the slope regression proved the
+        # damage is readback-only: the constant completion quantum cancels
+        # out of elapsed-vs-N, leaving the true marginal chunk cost. The
+        # record self-describes the methodology and why the standard one
+        # refused; extras are skipped (their chained timings would still
+        # ride the sick readbacks).
+        fps = float(slope["value"])
+        return {
+            "metric": "1080p_e2e_fps_flow_warp_composite",
+            "value": round(fps, 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / cpu_fps, 2),
+            "healthy": True,
+            "method": ("slope-regression: elapsed-vs-N over chained "
+                       "chunk dispatches cancels the tunnel's constant "
+                       "completion quantum (bench.slope_fit)"),
+            "ms_per_frame": round(1000.0 / fps, 4) if fps else 0.0,
+            "readback_quantum_s": slope["intercept_s"],
+            "slope_r2": slope["r2"],
+            "slope_n_points": slope["n_points"],
+            "slope_samples": slope["samples"],
+            "standard_method_refused": "; ".join(tpu["unhealthy_reasons"]),
+            "tunnel_rtt_s": tpu["tunnel_rtt_s"],
+            "chunk_gate_s": tpu["chunk_gate_s"],
+            "hbm_io_gbps": round(4.0 * HEIGHT * WIDTH * fps / 1e9, 1),
+            "cpu_reference_fps": round(cpu_fps, 3),
+            "extras_skipped": ("liteflownet/e2e stages skipped: their "
+                               "single-chain timings would measure the "
+                               "quantized readbacks, not the device"),
+        }
 
     def write_sidecar(record):
         try:  # persisted for future refusal records' last_healthy_record
@@ -675,8 +831,30 @@ def main():
             time.sleep(120.0)
             tpu = bench_tpu(watchdog)
     if not tpu["healthy"]:
+        # last resort before refusing: the slope methodology can extract a
+        # genuine device-throughput figure when the regime's damage is
+        # readback-only (constant quantum). If dispatches themselves
+        # serialize (poll-serialized) or the fit is bad, the refusal
+        # stands — with the slope evidence attached either way.
+        slope = None
+        if (os.environ.get("TRANSFLOW_BENCH_SLOPE", "1") != "0"
+                and watchdog.remaining_s() > 420.0):
+            watchdog.rearm("slope-fallback")
+            try:
+                slope = bench_slope(watchdog, budget_s=min(
+                    600.0, watchdog.remaining_s() - 240.0))
+            except Exception as exc:
+                slope = {"verdict": "unmeasurable",
+                         "error": repr(exc)[:200]}
+            watchdog.pending_record = refusal_record(tpu, slope)
+        if slope is not None and slope.get("verdict") == "device-throughput":
+            record = slope_record(tpu, slope)
+            write_sidecar(record)
+            watchdog.cancel()
+            print(json.dumps(record))
+            return
         watchdog.cancel()
-        print(json.dumps(refusal_record(tpu)))
+        print(json.dumps(refusal_record(tpu, slope)))
         return
     record = {
         "metric": "1080p_e2e_fps_flow_warp_composite",

@@ -189,14 +189,22 @@ def test_main_success_runs_extras_after_flagship(monkeypatch, tmp_path,
 
 def test_main_refusal_skips_extras(monkeypatch, tmp_path, capsys):
     """An unhealthy verdict refuses with value 0, never runs the optional
-    stages (they would measure the sick tunnel), and says why e2e was
-    skipped."""
+    stages (they would measure the sick tunnel), says why e2e was
+    skipped, and carries the slope probe's evidence (here:
+    poll-serialized — dispatches themselves ride the cycle, so the
+    refusal stands)."""
     import json
     import bench as bench_mod
     monkeypatch.setattr(bench_mod, "_repo_dir", lambda: str(tmp_path))
     monkeypatch.setattr(bench_mod, "bench_cpu_reference", lambda: 1.0)
     monkeypatch.setattr(bench_mod, "bench_tpu",
                         lambda watchdog=None: _sick_tpu_result())
+    monkeypatch.setattr(
+        bench_mod, "bench_slope",
+        lambda watchdog=None, budget_s=0: {
+            "verdict": "poll-serialized", "value": 5.3,
+            "slope_s_per_chunk": 3.0, "intercept_s": 0.5, "r2": 0.999,
+            "n_points": 8, "samples": []})
 
     def boom():
         raise AssertionError("optional stage ran in a sick regime")
@@ -209,9 +217,96 @@ def test_main_refusal_skips_extras(monkeypatch, tmp_path, capsys):
     assert record["healthy"] is False
     assert record["value"] == 0
     assert "quantized cycle" in record["error"]
+    assert record["slope_probe"]["verdict"] == "poll-serialized"
     assert "e2e_skipped" in record
     assert record["last_healthy_record"] is None
     assert not (tmp_path / ".bench_last_healthy.json").exists()
+
+
+def test_main_slope_rescues_readback_only_regime(monkeypatch, tmp_path,
+                                                 capsys):
+    """When the standard gate refuses but the slope regression proves the
+    damage is readback-only, main() emits a HEALTHY record with the slope
+    figure, a self-describing method field, and the standard refusal
+    reasons — and still skips the extras (their chained timings would
+    ride the sick readbacks)."""
+    import json
+    import bench as bench_mod
+    monkeypatch.setattr(bench_mod, "_repo_dir", lambda: str(tmp_path))
+    monkeypatch.setattr(bench_mod, "bench_cpu_reference", lambda: 1.0)
+    monkeypatch.setattr(bench_mod, "bench_tpu",
+                        lambda watchdog=None: _sick_tpu_result())
+    monkeypatch.setattr(
+        bench_mod, "bench_slope",
+        lambda watchdog=None, budget_s=0: {
+            "verdict": "device-throughput", "value": 29500.0,
+            "slope_s_per_chunk": 0.000542, "intercept_s": 3.1,
+            "r2": 0.998, "n_points": 12, "samples": [[4, 3.1], [8, 3.1]]})
+
+    def boom():
+        raise AssertionError("optional stage ran in a sick regime")
+    monkeypatch.setattr(bench_mod, "_bench_liteflownet", boom)
+    monkeypatch.setattr(bench_mod, "bench_e2e_cli", boom)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--e2e"])
+    monkeypatch.setenv("TRANSFLOW_BENCH_RETRY", "0")
+    bench_mod.main()
+    record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert record["healthy"] is True
+    assert record["value"] == 29500.0
+    assert record["vs_baseline"] == 29500.0
+    assert "slope-regression" in record["method"]
+    assert "quantized cycle" in record["standard_method_refused"]
+    assert record["readback_quantum_s"] == 3.1
+    assert "extras_skipped" in record
+    # a slope capture is a genuine healthy record: the sidecar persists it
+    sidecar = json.load(open(tmp_path / ".bench_last_healthy.json"))
+    assert sidecar["value"] == 29500.0
+
+
+def test_main_slope_disabled_by_env(monkeypatch, tmp_path, capsys):
+    """TRANSFLOW_BENCH_SLOPE=0 skips the fallback entirely (fast-fail
+    capture-loop attempts must be able to opt out)."""
+    import json
+    import bench as bench_mod
+    monkeypatch.setattr(bench_mod, "_repo_dir", lambda: str(tmp_path))
+    monkeypatch.setattr(bench_mod, "bench_cpu_reference", lambda: 1.0)
+    monkeypatch.setattr(bench_mod, "bench_tpu",
+                        lambda watchdog=None: _sick_tpu_result())
+
+    def boom(*a, **k):
+        raise AssertionError("slope ran despite TRANSFLOW_BENCH_SLOPE=0")
+    monkeypatch.setattr(bench_mod, "bench_slope", boom)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    monkeypatch.setenv("TRANSFLOW_BENCH_RETRY", "0")
+    monkeypatch.setenv("TRANSFLOW_BENCH_SLOPE", "0")
+    bench_mod.main()
+    record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert record["healthy"] is False and "slope_probe" not in record
+
+
+def test_slope_fit_verdicts():
+    """The pure regression core classifies the three regimes from their
+    timing signatures (synthetic, no device)."""
+    import bench as bench_mod
+    ns = [4, 8, 16, 32, 64] * 2
+    # readback-only damage: big constant quantum, healthy sub-ms slope
+    fit = bench_mod.slope_fit(ns, [3.0 + 0.0005 * n for n in ns])
+    assert fit["verdict"] == "device-throughput"
+    assert abs(fit["value"] - bench_mod.CHUNK / 0.0005) < 1.0
+    assert abs(fit["intercept_s"] - 3.0) < 0.01
+    # dispatch serialization: the slope IS the quantum
+    fit = bench_mod.slope_fit(ns, [0.5 + 3.0 * n for n in ns])
+    assert fit["verdict"] == "poll-serialized"
+    # wandering quantum: bad fit -> no number
+    rng = __import__("numpy").random.default_rng(0)
+    noisy = [3.0 + 0.0005 * n + float(rng.uniform(0, 4)) for n in ns]
+    assert bench_mod.slope_fit(ns, noisy)["verdict"] == "unmeasurable"
+    # non-physical slope (implied fps far beyond the HBM wall)
+    fit = bench_mod.slope_fit(ns, [3.0 + 1e-6 * n for n in ns])
+    assert fit["verdict"] == "unmeasurable"
+    # too few points
+    assert bench_mod.slope_fit([4, 4], [1.0, 1.0])["verdict"] == \
+        "unmeasurable"
 
 
 def test_main_extras_failure_degrades_not_refuses(monkeypatch, tmp_path,
