@@ -382,26 +382,30 @@ def bench_tpu(watchdog=None) -> dict:
     }
 
 
-def slope_fit(ns, ts, chunk_frames=CHUNK) -> dict:
-    """Regress elapsed-vs-N over chained-chunk samples and classify the
-    regime. Pure (testable) core of the slope methodology.
+def slope_fit(ns, ts) -> dict:
+    """Regress elapsed-vs-frames over single-dispatch program samples and
+    classify the regime. Pure (testable) core of the slope methodology.
 
     The poll-cycle tunnel regime (BASELINE.md) adds a large, roughly
-    CONSTANT completion latency to every host-visible readback while the
-    device computes at full speed between polls. A single timed sample is
-    then dominated by that quantum — but the quantum is an INTERCEPT, not
-    a slope: timing N chained chunk dispatches (one value readback at the
-    end) for several N and regressing elapsed-vs-N cancels every constant
-    term, leaving the true marginal cost of one chunk. fps = chunk/slope.
+    CONSTANT per-dispatch latency to every host-visible completion —
+    and has been observed serializing the dispatches themselves, so
+    chaining MORE dispatches cannot cancel it. Varying the PROGRAM
+    LENGTH can: each sample is ONE dispatch of an n-frame ``lax.scan``
+    program, so elapsed(n) = quantum + n * per_frame, and the quantum is
+    an INTERCEPT the regression removes. fps = 1 / slope.
+
+    ``ns`` are frame counts per program, ``ts`` elapsed seconds per
+    dispatch+readback.
 
     Verdicts:
-    - ``device-throughput``: the fit is tight and the slope is in the
-      plausible device band — the damage was readback-only and the slope
-      fps IS the device throughput.
-    - ``poll-serialized``: the slope itself is seconds — dispatches
-      serialize on the poll cycle; nothing can be measured.
-    - ``unmeasurable``: bad fit (wandering quantum) or non-physical
-      slope; no number should be printed.
+    - ``device-throughput``: tight fit, slope in the plausible device
+      band — the slope fps IS the device throughput (the per-dispatch
+      quantum, however large, cancelled).
+    - ``poll-serialized``: the marginal per-frame cost itself is huge —
+      either the device is genuinely slow or the regime quantizes
+      proportionally to work; either way no healthy number exists.
+    - ``unmeasurable``: bad fit (wandering quantum, cycle stair-steps)
+      or non-physical slope; no number should be printed.
     """
     ns_arr = np.asarray(ns, np.float64)
     ts_arr = np.asarray(ts, np.float64)
@@ -413,23 +417,23 @@ def slope_fit(ns, ts, chunk_frames=CHUNK) -> dict:
     ss_res = float(np.sum((ts_arr - pred) ** 2))
     ss_tot = float(np.sum((ts_arr - ts_arr.mean()) ** 2))
     r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
-    fps = chunk_frames / slope if slope > 0 else 0.0
+    fps = 1.0 / slope if slope > 0 else 0.0
     verdict = "unmeasurable"
     if slope > 0 and r2 > 0.98:
-        # a healthy 16-frame 1080p chunk is sub-ms of device time; the
-        # quantized regime's quantum is seconds — three orders of
-        # magnitude apart, so 50 ms/chunk cleanly splits the regimes.
-        # Physical ceiling: frame IO alone (~8.3 MB/frame) caps genuine
-        # throughput near the ~819 GB/s HBM wall (~99k fps); a slope
-        # implying far beyond that is an artifact, not a measurement.
-        if slope >= 0.05:
+        # a healthy frame is ~0.03 ms of device time; a regime that
+        # cannot sustain 320 fps marginal cost is not measuring the
+        # device. Physical ceiling: frame IO alone (~8.3 MB/frame) caps
+        # genuine throughput near the ~819 GB/s HBM wall (~99k fps); a
+        # slope implying far beyond that is an artifact (e.g. the whole
+        # ladder landed inside one poll cycle), not a measurement.
+        if fps < 320.0:
             verdict = "poll-serialized"
         elif fps < 2.0 * 819e9 / (4.0 * HEIGHT * WIDTH):
             verdict = "device-throughput"
     return {
         "verdict": verdict,
         "value": round(fps, 1),
-        "slope_s_per_chunk": round(float(slope), 6),
+        "slope_ms_per_frame": round(1000.0 * float(slope), 6),
         "intercept_s": round(float(intercept), 3),
         "r2": round(r2, 4),
         "n_points": int(len(ns_arr)),
@@ -438,14 +442,24 @@ def slope_fit(ns, ts, chunk_frames=CHUNK) -> dict:
 
 
 def bench_slope(watchdog=None, budget_s: float = 600.0,
-                grid=(4, 8, 16, 32, 64), passes: int = 3) -> dict:
+                lengths=None, passes: int = 3) -> dict:
     """Slope-methodology fallback measurement (see ``slope_fit``).
 
-    Runs passes over ``grid`` chained-chunk samples — distinct inputs,
-    keys and chunk numbers per dispatch, the state chain serializing
-    every dispatch, ONE value readback per sample — aborting between
-    samples once ``budget_s`` is spent (a partial grid still fits; in the
-    poll-serialized regime one pass alone proves the verdict)."""
+    Each sample is ONE dispatch of an n-frame program: ``lax.scan`` over
+    the full step (estimator -> postprocess -> compositor -> render),
+    rotating GRAY_SETS distinct input frames, per-step timestamps and
+    folded keys, with every rendered pixel of every frame feeding a
+    returned checksum (XLA cannot dead-code the render) and the carried
+    frame-sized accumulator keeping the per-frame HBM write the standard
+    methodology's materialized outputs perform. t0/key vary per dispatch
+    so no dispatch is ever a memoizable replay. The per-dispatch tunnel
+    quantum — even when dispatches serialize — is constant across n and
+    cancels in the elapsed-vs-frames regression.
+
+    The ladder is adaptive by default: n grows from 2048 until the
+    marginal device time clearly dominates quantum noise (elapsed at
+    least 3 s over the first rung) or the budget/size cap binds; then
+    remaining passes re-sample the ladder for the fit."""
     import jax
     import jax.numpy as jnp
     from transflow_tpu.config import LayerConfig
@@ -458,37 +472,89 @@ def bench_slope(watchdog=None, budget_s: float = 600.0,
         {0: [(3, np.ones((HEIGHT, WIDTH), bool))]},
         method="farneback", estimator_kwargs={},
         direction=Direction.BACKWARD)
-    frames = make_frames(CHUNK + 1)
-    state = model.init_state(frames[0])
-    gray_sets = [jax.device_put(jnp.asarray(make_frames(CHUNK, seed=s)))
-                 for s in range(GRAY_SETS)]
+    frames = make_frames(GRAY_SETS + 1)
+    state0 = model.init_state(frames[0])
+    grays = jax.device_put(jnp.asarray(make_frames(GRAY_SETS, seed=3)))
     pixmaps = model.default_pixmaps()
-    keys = jax.random.split(jax.random.key(1), max(grid))
+    root_key = jax.random.key(7)
+    framerate = jnp.float32(model.framerate)
+
+    programs = {}
+
+    def make_program(n):
+        @jax.jit
+        def prog(state, grays, pixmaps, t0, key, params_list, pp_mask,
+                 est_params):
+            acc0 = jnp.zeros((model.out_height, model.out_width, 3),
+                             jnp.uint8)
+
+            def body(carry, i):
+                st, acc = carry
+                gray = grays[jnp.mod(i, GRAY_SETS)]
+                frame_numbers = tuple(tuple(i for _ in p.channel_counts)
+                                      for p in model.layer_params)
+                new_state, rgb = model._step(
+                    st, gray, pixmaps, t0 + i.astype(jnp.float32) / framerate,
+                    jax.random.fold_in(key, i), frame_numbers, params_list,
+                    pp_mask, est_params)
+                # uint8 wraparound add: every pixel of every rendered frame
+                # feeds the returned checksum, and the carried frame-sized
+                # accumulator is written back each iteration (the HBM
+                # traffic the standard method's materialized outputs pay)
+                return (new_state, acc + rgb), None
+
+            (st, acc), _ = jax.lax.scan(body, (state, acc0),
+                                        jnp.arange(n, dtype=jnp.int32))
+            return jnp.sum(acc.astype(jnp.uint32))
+        return prog
+
+    counter = [0]
+
+    def sample(n):
+        if n not in programs:
+            programs[n] = make_program(n)
+        counter[0] += 1
+        t0 = jnp.float32(1000.0 * counter[0])
+        key = jax.random.fold_in(root_key, counter[0])
+        start = time.perf_counter()
+        total = programs[n](state0, grays, pixmaps, t0, key,
+                            model.layer_params, model.pp_mask,
+                            model.est_params)
+        int(np.asarray(total))
+        return time.perf_counter() - start
 
     deadline = time.monotonic() + budget_s
     if watchdog is not None:
         watchdog.rearm("slope-compile")
-    state, rgbs = model.jit_scan(state, gray_sets[0], pixmaps,
-                                 jnp.float32(0.0), keys[0])
-    int(np.asarray(rgbs[-1, 0, 0, 0]))  # compile + one warm chain
-    holder = {"state": state, "t": 5000}
-
-    def sample(n):
-        start = time.perf_counter()
-        current = holder["state"]
-        for i in range(n):
-            current, rgbs = model.jit_scan(
-                current, gray_sets[i % GRAY_SETS], pixmaps,
-                jnp.float32(holder["t"] + i), keys[i])
-        holder["t"] += n
-        int(np.asarray(rgbs[-1, 0, 0, 0]))
-        holder["state"] = current
-        return time.perf_counter() - start
-
     ns, ts = [], []
+    if lengths is None:
+        # adaptive ladder: grow until device time dominates quantum noise
+        n = 2048
+        t_first = None
+        while True:
+            if watchdog is not None:
+                watchdog.rearm(f"slope-ladder-n{n}")
+            sample(n)  # first call per n includes compile; discard
+            t = sample(n)
+            ns.append(n)
+            ts.append(t)
+            if t_first is None:
+                t_first = t
+            # grow until the marginal device time dominates the observed
+            # quantum noise (~±0.3 s): a 6 s span keeps R^2 meaningful
+            if (t - t_first > 6.0 or n >= 262144
+                    or time.monotonic() > deadline
+                    or (watchdog is not None
+                        and watchdog.remaining_s() < 180.0)):
+                break
+            n *= 4
+        lengths = tuple(ns)  # re-sample the same rungs below
+        passes = max(1, passes - 1)
     for _ in range(passes):
-        for n in grid:
-            if ns and time.monotonic() > deadline:
+        for n in lengths:
+            if ns and (time.monotonic() > deadline
+                       or (watchdog is not None
+                           and watchdog.remaining_s() < 180.0)):
                 break
             if watchdog is not None:
                 watchdog.rearm(f"slope-sample-n{n}")

@@ -286,23 +286,25 @@ def test_main_slope_disabled_by_env(monkeypatch, tmp_path, capsys):
 
 def test_slope_fit_verdicts():
     """The pure regression core classifies the three regimes from their
-    timing signatures (synthetic, no device)."""
+    timing signatures (synthetic, no device). ``ns`` are frames per
+    single-dispatch program; the per-dispatch quantum is the intercept."""
     import bench as bench_mod
-    ns = [4, 8, 16, 32, 64] * 2
-    # readback-only damage: big constant quantum, healthy sub-ms slope
-    fit = bench_mod.slope_fit(ns, [3.0 + 0.0005 * n for n in ns])
+    ns = [2048, 8192, 32768, 131072] * 3
+    # constant per-dispatch quantum + ~30k fps device: rescued
+    fit = bench_mod.slope_fit(ns, [3.0 + n / 30000.0 for n in ns])
     assert fit["verdict"] == "device-throughput"
-    assert abs(fit["value"] - bench_mod.CHUNK / 0.0005) < 1.0
+    assert abs(fit["value"] - 30000.0) < 1.0
     assert abs(fit["intercept_s"] - 3.0) < 0.01
-    # dispatch serialization: the slope IS the quantum
-    fit = bench_mod.slope_fit(ns, [0.5 + 3.0 * n for n in ns])
+    # marginal per-frame cost itself is huge: nothing to rescue
+    fit = bench_mod.slope_fit(ns, [0.5 + n * 0.01 for n in ns])
     assert fit["verdict"] == "poll-serialized"
-    # wandering quantum: bad fit -> no number
+    # wandering quantum / cycle stair-steps: bad fit -> no number
     rng = __import__("numpy").random.default_rng(0)
-    noisy = [3.0 + 0.0005 * n + float(rng.uniform(0, 4)) for n in ns]
+    noisy = [3.0 + n / 30000.0 + float(rng.uniform(0, 8)) for n in ns]
     assert bench_mod.slope_fit(ns, noisy)["verdict"] == "unmeasurable"
-    # non-physical slope (implied fps far beyond the HBM wall)
-    fit = bench_mod.slope_fit(ns, [3.0 + 1e-6 * n for n in ns])
+    # non-physical slope (implied fps far beyond the HBM wall): the whole
+    # ladder landed inside one poll cycle, not a measurement
+    fit = bench_mod.slope_fit(ns, [3.0 + n * 1e-9 for n in ns])
     assert fit["verdict"] == "unmeasurable"
     # too few points
     assert bench_mod.slope_fit([4, 4], [1.0, 1.0])["verdict"] == \
@@ -329,6 +331,21 @@ def test_main_extras_failure_degrades_not_refuses(monkeypatch, tmp_path,
     record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert record["healthy"] is True and record["value"] == 30000.0
     assert "fresh sick window" in record["liteflownet_error"]
+
+
+def test_bench_slope_smoke(monkeypatch):
+    """bench_slope runs end-to-end on tiny CPU shapes: fixed ladder, one
+    program per length, a fit dict with the metric fields."""
+    import bench as bench_mod
+    monkeypatch.setattr(bench_mod, "HEIGHT", 24)
+    monkeypatch.setattr(bench_mod, "WIDTH", 32)
+    out = bench_mod.bench_slope(budget_s=120.0, lengths=(4, 8, 16),
+                                passes=2)
+    assert out["metric"] == "1080p_slope_fps_flow_warp_composite"
+    assert out["verdict"] in ("device-throughput", "poll-serialized",
+                              "unmeasurable")
+    assert out["n_points"] >= 4
+    assert all(n in (4, 8, 16) for n, _ in out["samples"])
 
 
 def test_watchdog_remaining_budget():

@@ -2,14 +2,13 @@
 QUANTIZED tunnel regime cannot fake.
 
 The poll-cycle regime (BASELINE.md) adds a large, roughly CONSTANT
-completion latency to every host-visible readback while the device
-itself computes at full speed between polls. A single timed sample is
-then dominated by the quantum and bench.py rightly refuses to print it.
-But the quantum is an intercept, not a slope: timing samples of N
-chained chunk dispatches (one value readback each) for several N and
-regressing elapsed-vs-N cancels every constant term — handshake,
-enqueue batching, poll alignment — leaving the true marginal cost of
-one 16-frame chunk. fps = 16 / slope.
+per-dispatch latency to every host-visible completion — and has been
+observed serializing dispatches themselves, so chaining MORE dispatches
+cannot cancel it. Varying the PROGRAM LENGTH can: each sample is ONE
+dispatch of an n-frame lax.scan program (estimator -> postprocess ->
+compositor -> render per frame, all rendered pixels feeding a returned
+checksum), so elapsed(n) = quantum + n * per_frame and the quantum is
+an intercept the elapsed-vs-frames regression removes. fps = 1/slope.
 
 Interpretation (see ``bench.slope_fit`` for the verdict rules):
 - ``device-throughput``: the regime's damage is readback-only; the slope
@@ -27,8 +26,8 @@ The implementation lives in ``bench.bench_slope`` (also the automatic
 fallback when bench.py's standard gate refuses); this tool is the
 standalone entry with a larger default grid for diagnostic runs.
 
-Usage: python tools/slope_probe.py [max_chunks] [budget_s]
-  (defaults 256 / 3600). Prints one JSON line.
+Usage: python tools/slope_probe.py [budget_s]
+  (default 3600). Prints one JSON line.
 """
 import json
 import os
@@ -45,12 +44,11 @@ import bench  # noqa: E402
 
 
 def main():
-    max_chunks = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    budget_s = float(sys.argv[2]) if len(sys.argv) > 2 else 3600.0
-    grid = tuple(n for n in (8, 16, 32, 64, 128, 256) if n <= max_chunks)
-    out = bench.bench_slope(budget_s=budget_s, grid=grid, passes=3)
-    out["note"] = ("slope methodology cancels constant completion-quantum "
-                   "latency; valid only when verdict=device-throughput")
+    budget_s = float(sys.argv[1]) if len(sys.argv) > 1 else 3600.0
+    out = bench.bench_slope(budget_s=budget_s)  # adaptive program ladder
+    out["note"] = ("slope methodology cancels constant per-dispatch "
+                   "quantum latency (program-length regression); valid "
+                   "only when verdict=device-throughput")
     print(json.dumps(out), flush=True)
 
 
