@@ -510,9 +510,7 @@ def bench_slope(watchdog=None, budget_s: float = 600.0,
 
     counter = [0]
 
-    def sample(n):
-        if n not in programs:
-            programs[n] = make_program(n)
+    def run_once(n):
         counter[0] += 1
         t0 = jnp.float32(1000.0 * counter[0])
         key = jax.random.fold_in(root_key, counter[0])
@@ -523,48 +521,74 @@ def bench_slope(watchdog=None, budget_s: float = 600.0,
         int(np.asarray(total))
         return time.perf_counter() - start
 
+    def sample(n):
+        if n not in programs:
+            programs[n] = make_program(n)
+            run_once(n)  # compile + first execution: discard
+        return run_once(n)
+
+    # OBSERVED HAZARD: the tunnel kills the worker process outright when a
+    # single program execution runs long (a 1080p scan whose execution
+    # crossed ~50 s crashed the worker reproducibly; short programs were
+    # fine). The ladder therefore predicts the next rung's elapsed from
+    # the measured marginal cost and refuses to schedule anything beyond
+    # EXEC_CAP; a crash mid-ladder degrades to fitting what was collected.
+    EXEC_CAP = 40.0
+
     deadline = time.monotonic() + budget_s
     if watchdog is not None:
         watchdog.rearm("slope-compile")
     ns, ts = [], []
-    if lengths is None:
-        # adaptive ladder: grow until device time dominates quantum noise
-        n = 2048
-        t_first = None
-        while True:
-            if watchdog is not None:
-                watchdog.rearm(f"slope-ladder-n{n}")
-            sample(n)  # first call per n includes compile; discard
-            t = sample(n)
-            ns.append(n)
-            ts.append(t)
-            if t_first is None:
-                t_first = t
-            # grow until the marginal device time dominates the observed
-            # quantum noise (~±0.3 s): a 6 s span keeps R^2 meaningful
-            if (t - t_first > 6.0 or n >= 262144
-                    or time.monotonic() > deadline
-                    or (watchdog is not None
-                        and watchdog.remaining_s() < 180.0)):
+    crash = None
+
+    def over_budget():
+        return (time.monotonic() > deadline
+                or (watchdog is not None
+                    and watchdog.remaining_s() < 180.0))
+
+    try:
+        if lengths is None:
+            # adaptive ladder: grow until the marginal device time
+            # dominates the observed quantum noise (~±0.3 s -> 6 s span)
+            n = 16
+            while True:
+                if watchdog is not None:
+                    watchdog.rearm(f"slope-ladder-n{n}")
+                t = sample(n)
+                ns.append(n)
+                ts.append(t)
+                if t - ts[0] > 6.0 or n >= 262144 or over_budget():
+                    break
+                # resolvable marginal -> careful x2 growth; unresolvably
+                # fast -> x4 to reach useful spans in few compiles
+                grow = 2 if t - ts[0] > 0.5 else 4
+                nxt = n * grow
+                if ns[-1] > ns[0]:
+                    m = (ts[-1] - ts[0]) / (ns[-1] - ns[0])
+                    if ts[0] + m * (nxt - ns[0]) > EXEC_CAP:
+                        break
+                n = nxt
+            lengths = tuple(sorted(set(ns)))
+            passes = max(1, passes - 1)
+        for _ in range(passes):
+            for n in lengths:
+                if ns and over_budget():
+                    break
+                if watchdog is not None:
+                    watchdog.rearm(f"slope-sample-n{n}")
+                ns.append(n)
+                ts.append(sample(n))
+            if over_budget():
                 break
-            n *= 4
-        lengths = tuple(ns)  # re-sample the same rungs below
-        passes = max(1, passes - 1)
-    for _ in range(passes):
-        for n in lengths:
-            if ns and (time.monotonic() > deadline
-                       or (watchdog is not None
-                           and watchdog.remaining_s() < 180.0)):
-                break
-            if watchdog is not None:
-                watchdog.rearm(f"slope-sample-n{n}")
-            ns.append(n)
-            ts.append(sample(n))
-        if time.monotonic() > deadline:
-            break
+    except Exception as exc:  # worker crash / tunnel death mid-ladder
+        if ns and len(ts) < len(ns):
+            ns.pop()
+        crash = repr(exc)[:200]
     out = slope_fit(ns, ts)
     out["metric"] = "1080p_slope_fps_flow_warp_composite"
     out["unit"] = "frames/sec"
+    if crash is not None:
+        out["aborted_by"] = crash
     return out
 
 
