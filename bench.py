@@ -411,7 +411,9 @@ def slope_fit(ns, ts) -> dict:
     ts_arr = np.asarray(ts, np.float64)
     if len(ns_arr) < 4 or len(set(ns)) < 3:
         return {"verdict": "unmeasurable", "reason": "too few points",
-                "n_points": int(len(ns_arr))}
+                "n_points": int(len(ns_arr)),
+                "samples": [[int(n), round(t, 3)]
+                            for n, t in zip(ns, ts)]}
     slope, intercept = np.polyfit(ns_arr, ts_arr, 1)
     pred = slope * ns_arr + intercept
     ss_res = float(np.sum((ts_arr - pred) ** 2))
@@ -568,7 +570,22 @@ def bench_slope(watchdog=None, budget_s: float = 600.0,
                     if ts[0] + m * (nxt - ns[0]) > EXEC_CAP:
                         break
                 n = nxt
-            lengths = tuple(sorted(set(ns)))
+            # the fit needs >=3 distinct rungs; a steep regime can stop
+            # the ladder after two — backfill geometric midpoints
+            uniq = sorted(set(ns))
+            while len(uniq) < 3 and not over_budget():
+                for a, b in zip(uniq, uniq[1:]):
+                    mid = int(round((a * b) ** 0.5))
+                    if mid > a and mid not in uniq:
+                        if watchdog is not None:
+                            watchdog.rearm(f"slope-mid-n{mid}")
+                        ns.append(mid)
+                        ts.append(sample(mid))
+                        break
+                else:
+                    break
+                uniq = sorted(set(ns))
+            lengths = tuple(uniq)
             passes = max(1, passes - 1)
         for _ in range(passes):
             for n in lengths:
