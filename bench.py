@@ -711,7 +711,7 @@ class _Watchdog:
         # A completed measurement stashed here is printed VERBATIM (plus an
         # extras_truncated note) if a deadline fires later — optional
         # stages and retries must never erase a record that already exists.
-        self.pending_record = None
+        self._pending_record = None
         self._total_timer = self._threading.Timer(
             self.total_deadline, self._fire,
             kwargs={"reason": f"total bench budget "
@@ -719,7 +719,118 @@ class _Watchdog:
                     "completed measurement"})
         self._total_timer.daemon = True
         self._total_timer.start()
+        self._spawn_sentinel()
         self.rearm("startup")
+
+    # --- process sentinel -------------------------------------------------
+    # The Timer threads above need the GIL to run. A hung tunnel RPC that
+    # holds the GIL inside a C extension starves them indefinitely —
+    # observed: a degraded --e2e attempt ran 75 min past both deadlines and
+    # was killed by its outer `timeout` with EMPTY stdout. The sentinel is
+    # a separate PROCESS sharing this one's stdout: it watches a heartbeat
+    # file the main process touches on every rearm, and when either
+    # deadline (plus a 45 s grace so the in-process timers win whenever
+    # they can run) lapses it prints the record itself and SIGKILLs us.
+    _SENTINEL_SRC = r"""
+import json, os, signal, sys, time
+ppid = int(sys.argv[1]); hb = sys.argv[2]; pend = sys.argv[3]
+dl = float(sys.argv[4]); tdl = float(sys.argv[5]); lhp = sys.argv[6]
+start = time.time()
+def alive(pid):
+    try:
+        os.kill(pid, 0)
+        return True
+    except OSError:
+        return False
+while True:
+    time.sleep(5)
+    if not alive(ppid):
+        sys.exit(0)
+    try:
+        mtime = os.path.getmtime(hb)
+    except OSError:
+        mtime = start
+    now = time.time()
+    stale = now - mtime
+    if stale <= dl and now - start <= tdl:
+        continue
+    phase = ""
+    try:
+        phase = open(hb).read().strip()
+    except Exception:
+        pass
+    if now - start > tdl:
+        reason = ("total bench budget (%.0fs) exhausted; the in-process "
+                  "watchdog never ran (GIL held by a hung tunnel call)"
+                  % tdl)
+    else:
+        reason = ("no progress for %.0fs and the in-process watchdog "
+                  "never ran (GIL held by a hung tunnel call)" % stale)
+    record = None
+    try:
+        with open(pend) as file:
+            record = json.load(file)
+    except Exception:
+        pass
+    if record is not None:
+        record["extras_truncated"] = (
+            "%s during phase %s; the completed measurement above is "
+            "intact, optional stages were cut" % (reason, phase))
+    else:
+        last = None
+        try:
+            with open(lhp) as file:
+                last = json.load(file)
+        except Exception:
+            pass
+        record = {
+            "metric": "1080p_e2e_fps_flow_warp_composite",
+            "value": 0, "unit": "frames/sec", "vs_baseline": 0,
+            "healthy": False,
+            "error": "%s (phase: %s); no measurement possible"
+                     % (reason, phase),
+            "last_healthy_record": last,
+        }
+    print(json.dumps(record), flush=True)
+    try:
+        os.kill(ppid, signal.SIGKILL)
+    except OSError:
+        pass
+    sys.exit(0)
+"""
+
+    def _spawn_sentinel(self):
+        import subprocess
+        import tempfile
+        root = tempfile.mkdtemp(prefix="transflow_bench_wd_")
+        self._hb_path = os.path.join(root, "heartbeat")
+        self._pending_path = os.path.join(root, "pending.json")
+        with open(self._hb_path, "w") as file:
+            file.write("startup")
+        grace = float(os.environ.get("TRANSFLOW_BENCH_SENTINEL_GRACE", "45"))
+        self._sentinel = subprocess.Popen(
+            [sys.executable, "-c", self._SENTINEL_SRC, str(os.getpid()),
+             self._hb_path, self._pending_path,
+             str(self.deadline + grace), str(self.total_deadline + grace),
+             os.path.join(_repo_dir(), ".bench_last_healthy.json")],
+            stdout=None, stderr=subprocess.DEVNULL)
+
+    @property
+    def pending_record(self):
+        return self._pending_record
+
+    @pending_record.setter
+    def pending_record(self, record):
+        self._pending_record = record
+        if record is None:
+            return
+        try:
+            tmp = self._pending_path + ".tmp"
+            with open(tmp, "w") as file:
+                json.dump(record, file)
+            os.replace(tmp, self._pending_path)
+        except OSError:
+            pass
 
     def remaining_s(self) -> float:
         """Seconds left before the absolute total deadline."""
@@ -752,6 +863,11 @@ class _Watchdog:
     def rearm(self, phase: str):
         """Mark progress: restart the no-progress countdown."""
         self.phase = phase
+        try:
+            with open(self._hb_path, "w") as file:
+                file.write(phase)
+        except OSError:
+            pass
         if self._timer is not None:
             self._timer.cancel()
         self._timer = self._threading.Timer(self.deadline, self._fire)
@@ -762,6 +878,10 @@ class _Watchdog:
         if self._timer is not None:
             self._timer.cancel()
         self._total_timer.cancel()
+        try:
+            self._sentinel.kill()
+        except OSError:
+            pass
 
 
 def bench_e2e_cli(frames: int = 96) -> dict:

@@ -102,6 +102,40 @@ def test_total_deadline_emits_record_before_external_kill(tmp_path):
     assert out[-1] != "UNREACHABLE"
 
 
+def test_sentinel_fires_when_gil_starved(tmp_path):
+    """The Timer-thread watchdog needs the GIL; a hung tunnel RPC holding
+    it inside a C call starves the timers forever (observed: a degraded
+    --e2e attempt ran 75 min past both deadlines and died to its outer
+    `timeout` with EMPTY stdout). The sentinel PROCESS must print the
+    record and kill the bench anyway. Catastrophic regex backtracking
+    stands in for the hung RPC — _sre holds the GIL for the whole match,
+    so no Python thread (including the timers) can run."""
+    import json
+    import subprocess
+    code = (
+        "import os\n"
+        "os.environ['TRANSFLOW_BENCH_DEADLINE'] = '1'\n"
+        "os.environ['TRANSFLOW_BENCH_SENTINEL_GRACE'] = '1'\n"
+        "import sys; sys.path.insert(0, %r)\n"
+        "from bench import _Watchdog\n"
+        "w = _Watchdog()\n"
+        "w.rearm('hung-rpc')\n"
+        "import re\n"
+        "re.match(r'(a+)+$', 'a' * 48 + 'b')\n"  # holds the GIL ~forever
+        "print('UNREACHABLE')\n" % os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+    proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                          text=True, timeout=120)
+    out = proc.stdout.strip().splitlines()
+    assert out, "sentinel emitted no record"
+    record = json.loads(out[-1])
+    assert record["healthy"] is False
+    assert "watchdog never ran" in record["error"]
+    assert "hung-rpc" in record["error"]
+    assert out[-1] != "UNREACHABLE"
+    assert proc.returncode != 0  # SIGKILLed by the sentinel
+
+
 def test_liteflownet_stage_smoke(monkeypatch):
     """The healthy-record LFN stage must produce finite numbers (tiny
     shapes on CPU; the real run uses 1088p on device)."""
