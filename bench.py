@@ -256,6 +256,34 @@ def bench_tpu(watchdog=None) -> dict:
         if chunk_rtt < 2.0 or time.monotonic() > gate_deadline:
             break
         time.sleep(30.0)
+    if chunk_rtt >= 2.0:
+        # The gate failed: the regime is already proven sick, and its
+        # worst variant KILLS long-running programs outright while single
+        # chunks keep completing on the ~3 s quantum (observed: a
+        # 512-frame chained sample hung >8 min in exactly that state).
+        # Running the standard fused samples here would burn the entire
+        # total budget the slope fallback needs — return the refusal now;
+        # main() routes to bench_slope, whose rungs are short EXEC_CAP-
+        # bounded programs built for this regime.
+        return {
+            "fps": 0.0, "best_fps": 0.0,
+            "tunnel_rtt_s": round(tunnel_rtt, 3),
+            "chunk_gate_s": round(chunk_rtt, 3),
+            "noise_iqr_pct": 0.0,
+            "ms_per_frame": 0.0,
+            "stage_ms": {"estimator": 0.0, "compositor_render": 0.0,
+                         "fused_total": 0.0,
+                         "skipped": "chunk gate refused — long chained "
+                                    "programs hang in this regime"},
+            "hbm_io_gbps": 0.0,
+            "vmem_resident_state_mb": round(state_bytes / 1e6, 1),
+            "healthy": False,
+            "unhealthy_reasons": [
+                f"one {CHUNK}-frame chunk took {chunk_rtt:.1f}s to read "
+                "back (healthy: <1s) after the gate's grace period — "
+                "standard chained sampling skipped, regime kills long "
+                "programs"],
+        }
     progress("fused-sample")
 
     sample_no = [0]
