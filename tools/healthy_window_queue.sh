@@ -76,14 +76,18 @@ while true; do
         echo "$(date +%H:%M:%S) bench refused — regime soured mid-run; back to polling" >> "$LOG"
       fi
     elif python -c "import sys; sys.exit(0 if float('$heavy') < 8.0 else 1)" \
-         && [ $(( $(date +%s) - LAST_DEGRADED )) -ge 3600 ]; then
+         && [ $(( $(date +%s) - LAST_DEGRADED )) -ge 1500 ]; then
+      # 25 min between degraded attempts: since the failed-chunk-gate
+      # skip, an attempt costs ~5-12 min (gate refusal + slope fallback)
+      # instead of 55 — retry often enough to catch a healed window
       LAST_DEGRADED=$(date +%s)
       echo "$ts degraded attempt (small=$small heavy=$heavy) — fast-fail envs + slope fallback" >> "$LOG"
       # bench.py's slope fallback (program-length regression) can extract
       # a genuine device figure from an alive-but-quantized regime, so a
       # degraded attempt is a real capture chance — hourly, not 2-hourly
       if TRANSFLOW_BENCH_TUNNEL_WAIT=60 TRANSFLOW_BENCH_CHUNK_GATE=120 \
-         TRANSFLOW_BENCH_RETRY=0 run_bench degraded; then
+         TRANSFLOW_BENCH_RETRY=0 TRANSFLOW_BENCH_TOTAL_DEADLINE=1500 \
+         run_bench degraded; then
         # healthy record (regime recovered mid-attempt, or the slope
         # fallback rescued a readback-quantized window)
         touch "$QUEUE_DONE"
