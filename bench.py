@@ -836,12 +836,18 @@ while True:
         with open(self._hb_path, "w") as file:
             file.write("startup")
         grace = float(os.environ.get("TRANSFLOW_BENCH_SENTINEL_GRACE", "45"))
-        self._sentinel = subprocess.Popen(
-            [sys.executable, "-c", self._SENTINEL_SRC, str(os.getpid()),
-             self._hb_path, self._pending_path,
-             str(self.deadline + grace), str(self.total_deadline + grace),
-             os.path.join(_repo_dir(), ".bench_last_healthy.json")],
-            stdout=None, stderr=subprocess.DEVNULL)
+        try:
+            self._sentinel = subprocess.Popen(
+                [sys.executable, "-c", self._SENTINEL_SRC, str(os.getpid()),
+                 self._hb_path, self._pending_path,
+                 str(self.deadline + grace),
+                 str(self.total_deadline + grace),
+                 os.path.join(_repo_dir(), ".bench_last_healthy.json")],
+                stdout=None, stderr=subprocess.DEVNULL)
+        except OSError:
+            # the sentinel is a backstop for GIL-starved timers — its
+            # absence must not keep the bench from measuring at all
+            self._sentinel = None
 
     @property
     def pending_record(self):
@@ -906,10 +912,11 @@ while True:
         if self._timer is not None:
             self._timer.cancel()
         self._total_timer.cancel()
-        try:
-            self._sentinel.kill()
-        except OSError:
-            pass
+        if self._sentinel is not None:
+            try:
+                self._sentinel.kill()
+            except OSError:
+                pass
 
 
 def bench_e2e_cli(frames: int = 96) -> dict:
