@@ -830,13 +830,20 @@ while True:
     def _spawn_sentinel(self):
         import subprocess
         import tempfile
-        root = tempfile.mkdtemp(prefix="transflow_bench_wd_")
-        self._hb_path = os.path.join(root, "heartbeat")
-        self._pending_path = os.path.join(root, "pending.json")
-        with open(self._hb_path, "w") as file:
-            file.write("startup")
+        # Any failure here (mkdtemp, heartbeat creation, Popen) degrades to
+        # timer-only watchdogs: the sentinel is a backstop for GIL-starved
+        # timers — its absence must not keep the bench from measuring at
+        # all. rearm()/pending_record already no-op on unwritable paths.
+        self._sentinel = None
+        self._hb_path = os.devnull
+        self._pending_path = os.devnull
         grace = float(os.environ.get("TRANSFLOW_BENCH_SENTINEL_GRACE", "45"))
         try:
+            root = tempfile.mkdtemp(prefix="transflow_bench_wd_")
+            self._hb_path = os.path.join(root, "heartbeat")
+            self._pending_path = os.path.join(root, "pending.json")
+            with open(self._hb_path, "w") as file:
+                file.write("startup")
             self._sentinel = subprocess.Popen(
                 [sys.executable, "-c", self._SENTINEL_SRC, str(os.getpid()),
                  self._hb_path, self._pending_path,
@@ -845,8 +852,6 @@ while True:
                  os.path.join(_repo_dir(), ".bench_last_healthy.json")],
                 stdout=None, stderr=subprocess.DEVNULL)
         except OSError:
-            # the sentinel is a backstop for GIL-starved timers — its
-            # absence must not keep the bench from measuring at all
             self._sentinel = None
 
     @property
@@ -856,7 +861,7 @@ while True:
     @pending_record.setter
     def pending_record(self, record):
         self._pending_record = record
-        if record is None:
+        if record is None or self._sentinel is None:
             return
         try:
             tmp = self._pending_path + ".tmp"
@@ -897,11 +902,12 @@ while True:
     def rearm(self, phase: str):
         """Mark progress: restart the no-progress countdown."""
         self.phase = phase
-        try:
-            with open(self._hb_path, "w") as file:
-                file.write(phase)
-        except OSError:
-            pass
+        if self._sentinel is not None:
+            try:
+                with open(self._hb_path, "w") as file:
+                    file.write(phase)
+            except OSError:
+                pass
         if self._timer is not None:
             self._timer.cancel()
         self._timer = self._threading.Timer(self.deadline, self._fire)
@@ -1069,10 +1075,17 @@ def main():
                                "quantized readbacks, not the device"),
         }
 
-    def write_sidecar(record):
-        try:  # persisted for future refusal records' last_healthy_record
+    def write_sidecar(record, methodology="standard-chained-readback"):
+        # Persisted for future refusal records' last_healthy_record. The
+        # capture_methodology tag travels with the record so a consumer
+        # comparing across runs can tell a slope-regression capture
+        # (marginal cost, checksum accumulator) from a standard-method
+        # capture (materialized readbacks) — the two are not directly
+        # comparable figures.
+        try:
             with open(healthy_path, "w") as file:
-                json.dump({**record, "timestamp": time.time()}, file)
+                json.dump({**record, "timestamp": time.time(),
+                           "capture_methodology": methodology}, file)
         except OSError:
             pass
 
@@ -1111,7 +1124,7 @@ def main():
             watchdog.pending_record = refusal_record(tpu, slope)
         if slope is not None and slope.get("verdict") == "device-throughput":
             record = slope_record(tpu, slope)
-            write_sidecar(record)
+            write_sidecar(record, methodology="slope-regression")
             watchdog.cancel()
             print(json.dumps(record))
             return

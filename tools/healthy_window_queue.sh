@@ -14,9 +14,13 @@
 #
 # Fallback: if no healthy window appears, one DEGRADED attempt (fast-fail
 # envs: 60 s tunnel wait, 120 s chunk gate, no internal retry — the loop
-# is the retry) runs at most every 2 h when the regime is at least alive
-# (heavy < 8 s), so the round always has fresh refusal diagnostics even
-# if no window ever opens.
+# is the retry) runs at most every 25 min when the regime is at least
+# alive (heavy < 8 s), so the round always has fresh refusal diagnostics
+# even if no window ever opens. A degraded attempt rescued by the slope
+# fallback marks DEGRADED_CAPTURED (stops further degraded attempts) but
+# keeps polling: only the FULL healthy queue sets QUEUE_DONE, because the
+# slope record deliberately skips mosaic/warp/profile stages (the regime
+# is still sick) and those must still run in a truly healthy window.
 #
 # Every attempt's record is preserved under $OUT/attempts/ — a later
 # attempt must never overwrite the evidence of an earlier one.
@@ -75,7 +79,8 @@ while true; do
       else
         echo "$(date +%H:%M:%S) bench refused — regime soured mid-run; back to polling" >> "$LOG"
       fi
-    elif python -c "import sys; sys.exit(0 if float('$heavy') < 8.0 else 1)" \
+    elif [ ! -f "$OUT/DEGRADED_CAPTURED" ] \
+         && python -c "import sys; sys.exit(0 if float('$heavy') < 8.0 else 1)" \
          && [ $(( $(date +%s) - LAST_DEGRADED )) -ge 1500 ]; then
       # 25 min between degraded attempts: since the failed-chunk-gate
       # skip, an attempt costs ~5-12 min (gate refusal + slope fallback)
@@ -84,13 +89,17 @@ while true; do
       echo "$ts degraded attempt (small=$small heavy=$heavy) — fast-fail envs + slope fallback" >> "$LOG"
       # bench.py's slope fallback (program-length regression) can extract
       # a genuine device figure from an alive-but-quantized regime, so a
-      # degraded attempt is a real capture chance — hourly, not 2-hourly
+      # degraded attempt is a real capture chance — every 25 min
       if TRANSFLOW_BENCH_TUNNEL_WAIT=60 TRANSFLOW_BENCH_CHUNK_GATE=120 \
          TRANSFLOW_BENCH_RETRY=0 TRANSFLOW_BENCH_TOTAL_DEADLINE=1500 \
          run_bench degraded; then
-        # healthy record (regime recovered mid-attempt, or the slope
-        # fallback rescued a readback-quantized window)
-        touch "$QUEUE_DONE"
+        # A record was captured (regime recovered mid-attempt, or the
+        # slope fallback rescued a quantized window). Do NOT set
+        # QUEUE_DONE: the slope path skips mosaic/warp/profile because
+        # the regime is still sick — keep polling so a later truly
+        # healthy window runs the full queue. This marker only stops
+        # further degraded attempts (one rescue is enough evidence).
+        touch "$OUT/DEGRADED_CAPTURED"
         touch "$OUT/HEALTHY_CAPTURED"
       fi
     fi
