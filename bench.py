@@ -16,13 +16,18 @@ this environment's tunnel, the dominant noise source) amortizes over ~5 ms
 of device work per sample. Early samples after compile
 run below steady state (cold caches, allocator, tunnel), so we WARM UP
 until two consecutive samples agree within 10% (capped), then take the
-median of REPEATS samples. The figure is physically auditable: the 60 MB
-recurrent state stays VMEM-resident across the scan (XLA), so per-frame HBM
-traffic is the frame IO (gray in + rgb out ~ 8.3 MB/frame) — the reported
-hbm_io_gbps must land under the chip's ~819 GB/s. Alongside fps the JSON
-carries ms/frame and a per-stage breakdown (estimator / compositor timed as
-standalone per-frame programs; the fused scan beats their sum because
-dispatch overhead amortizes and state stays in VMEM).
+median of REPEATS samples. The figure is physically auditable BOTH ways
+(round-4 correction, docs/PERF.md): per-frame HBM traffic is at least
+MIN_BYTES_PER_FRAME (the mapping-pair round trip + frame IO — the 60 MB
+carry does NOT stay VMEM-resident; the compile reports 1.53 GB of temps
+per chunk), so a healthy reading must land between the 100-fps physical
+floor and CEILING_FPS (~19.7k); anything outside is refused as an
+infrastructure artifact. A healthy standard reading is additionally
+cross-checked against the slope methodology (program-length regression
+with an on-device checksum accumulator — immune to readback
+short-circuits); on disagreement the slope figure wins. Alongside fps the
+JSON carries ms/frame and a per-stage breakdown (estimator / compositor
+timed as standalone per-frame programs).
 """
 import json
 import os
@@ -48,6 +53,25 @@ def _repo_dir() -> str:
 transflow_tpu.enable_compile_cache(os.path.join(_repo_dir(), ".jax_cache"))
 
 HEIGHT, WIDTH = 1080, 1920
+
+# --- physical ceiling (round-4 correction, docs/PERF.md) -------------------
+# The device is one TPU v5e ("TPU v5 lite", probed) : ~819 GB/s HBM. The
+# XLA compile of the 16-frame chunk reports 1.53 GB of temp buffers
+# (tools/hbm_traffic_audit.py), so nothing about this program is
+# VMEM-resident across scan iterations — the carry round-trips HBM every
+# frame. MIN_BYTES_PER_FRAME is a deliberate UNDER-estimate of that
+# traffic (so CEILING_FPS over-estimates the ceiling and never refuses a
+# genuine reading): the (H,W) int32 mapping pair alone is read and
+# rewritten every frame by the movement permutation, one gray frame is
+# read, one rgb frame is written. Alpha, warm-start flow, the rest of the
+# 60 MB carry, and the estimator temps only ADD traffic. Any fps reading
+# implying more than HBM_GBPS through this floor is non-physical — the
+# completion barrier was defeated, not the hardware transcended — and is
+# refused the same way quantized-regime readings are.
+HBM_GBPS = 819.0  # TPU v5e
+MIN_BYTES_PER_FRAME = 2 * (2 * 4 * HEIGHT * WIDTH) + 4 * HEIGHT * WIDTH
+CEILING_FPS = HBM_GBPS * 1e9 / MIN_BYTES_PER_FRAME  # ~19.7k fps
+
 CHUNK = 16             # frames per device dispatch (lax.scan)
 CHUNKS_PER_SAMPLE = 32  # chained dispatches per timed sample (~5 ms device)
 GRAY_SETS = 4          # distinct input chunks rotated across dispatches
@@ -171,13 +195,26 @@ def health_verdict(tunnel_rtt, chunk_rtt, fps, ms_per_frame, est_ms,
             "after the gate's grace period")
     # PHYSICAL FLOOR: one frame of this program moves >= 8.3 MB of frame
     # IO through HBM; even at 1% of the chip's ~819 GB/s that is > 120
-    # fps, and the measured healthy range is 28k-101k fps. A reading
-    # under 100 fps therefore cannot be device compute.
+    # fps. A reading under 100 fps therefore cannot be device compute.
     if fps < 100.0:
         reasons.append(
             f"{fps:.2f} fps is below the program's physical floor "
             "(frame IO alone at 1% of HBM bandwidth exceeds 120 fps) — "
             "completions are infrastructure-quantized")
+    # PHYSICAL CEILING (round-4): the mapping-pair round trip + frame IO
+    # alone move MIN_BYTES_PER_FRAME through HBM; a reading implying more
+    # than the chip's bandwidth through that under-estimate is
+    # non-physical — the completion barrier was defeated, and recording
+    # it as healthy would immortalize an artifact (the round 1-2
+    # "28k-101k" range failed exactly this check once derived).
+    if fps > CEILING_FPS:
+        reasons.append(
+            f"{fps:.0f} fps implies "
+            f"{MIN_BYTES_PER_FRAME * fps / 1e9:.0f} GB/s of HBM traffic "
+            f"through an under-estimated floor — over the v5e's "
+            f"{HBM_GBPS:.0f} GB/s ceiling (max physical "
+            f"{CEILING_FPS:.0f} fps); the completion barrier was "
+            "defeated, reading is non-physical")
     # consistency: the fused scan amortizes dispatch and keeps state in
     # VMEM, so fused ms/frame must not exceed the SUM of the stages
     # measured standalone by more than noise
@@ -218,9 +255,13 @@ def bench_tpu(watchdog=None) -> dict:
     pixmaps = model.default_pixmaps()
     keys = jax.random.split(jax.random.key(0), CHUNKS_PER_SAMPLE)
 
-    # HBM traffic per frame: the 60 MB recurrent state stays VMEM-resident
-    # across the scan, so what hits HBM each frame is the IO — one gray
-    # frame in, one rgb frame out (pixmaps are small enough to cache too)
+    # HBM traffic per frame (round-4 corrected accounting, docs/PERF.md):
+    # the compile reports 1.53 GB of temps per chunk, so NOTHING stays
+    # VMEM-resident across scan iterations — the 60 MB carry round-trips
+    # HBM every frame. The reported figure uses MIN_BYTES_PER_FRAME (the
+    # indisputable under-estimate the ceiling check is built on); real
+    # traffic, with the full carry and estimator temps, is several times
+    # higher (tools/hbm_traffic_audit.py).
     state_bytes = sum(x.nbytes for x in jax.tree.leaves(state))
     io_bytes_per_frame = HEIGHT * WIDTH + 3 * HEIGHT * WIDTH
 
@@ -276,7 +317,7 @@ def bench_tpu(watchdog=None) -> dict:
                          "skipped": "chunk gate refused — long chained "
                                     "programs hang in this regime"},
             "hbm_io_gbps": 0.0,
-            "vmem_resident_state_mb": round(state_bytes / 1e6, 1),
+            "carry_state_mb": round(state_bytes / 1e6, 1),
             "healthy": False,
             "unhealthy_reasons": [
                 f"one {CHUNK}-frame chunk took {chunk_rtt:.1f}s to read "
@@ -295,8 +336,11 @@ def bench_tpu(watchdog=None) -> dict:
         serializes every dispatch, and a host-visible value cannot exist
         before the device finished computing it (in tunneled environments
         block_until_ready has been observed returning at enqueue time).
-        ``t0`` varies per sample so no dispatch ever repeats (some runtimes
-        memoize identical executions)."""
+        ``t0`` AND the key vary per dispatch GLOBALLY (folded from the
+        lifetime dispatch counter, never reused across samples): with
+        cycling gray sets and a contracting state update, per-sample key
+        reuse could let the dispatch sequence converge to an exact replay
+        cycle a memoizing runtime would serve from cache."""
         base = sample_no[0] * CHUNKS_PER_SAMPLE
         sample_no[0] += 1
         start = time.perf_counter()
@@ -304,7 +348,7 @@ def bench_tpu(watchdog=None) -> dict:
         for i in range(CHUNKS_PER_SAMPLE):
             current, rgbs = model.jit_scan(
                 current, gray_sets[i % GRAY_SETS], pixmaps,
-                jnp.float32(base + i), keys[i])
+                jnp.float32(base + i), jax.random.fold_in(keys[0], base + i))
         int(np.asarray(rgbs[-1, 0, 0, 0]))
         holder["state"] = current
         return time.perf_counter() - start
@@ -404,7 +448,9 @@ def bench_tpu(watchdog=None) -> dict:
                      "compositor_render": round(comp_ms, 4),
                      "fused_total": round(ms_per_frame, 4)},
         "hbm_io_gbps": round(io_bytes_per_frame * fps / 1e9, 1),
-        "vmem_resident_state_mb": round(state_bytes / 1e6, 1),
+        "hbm_min_traffic_gbps": round(MIN_BYTES_PER_FRAME * fps / 1e9, 1),
+        "physical_ceiling_fps": round(CEILING_FPS, 0),
+        "carry_state_mb": round(state_bytes / 1e6, 1),
         "healthy": not unhealthy_reasons,
         "unhealthy_reasons": unhealthy_reasons,
     }
@@ -450,15 +496,15 @@ def slope_fit(ns, ts) -> dict:
     fps = 1.0 / slope if slope > 0 else 0.0
     verdict = "unmeasurable"
     if slope > 0 and r2 > 0.98:
-        # a healthy frame is ~0.03 ms of device time; a regime that
-        # cannot sustain 320 fps marginal cost is not measuring the
-        # device. Physical ceiling: frame IO alone (~8.3 MB/frame) caps
-        # genuine throughput near the ~819 GB/s HBM wall (~99k fps); a
-        # slope implying far beyond that is an artifact (e.g. the whole
+        # a regime that cannot sustain 320 fps marginal cost is not
+        # measuring the device. Physical ceiling: the mapping-pair HBM
+        # round trip + frame IO cap genuine throughput at CEILING_FPS
+        # (~19.7k on the v5e — see module constants / docs/PERF.md); a
+        # slope implying beyond that is an artifact (e.g. the whole
         # ladder landed inside one poll cycle), not a measurement.
         if fps < 320.0:
             verdict = "poll-serialized"
-        elif fps < 2.0 * 819e9 / (4.0 * HEIGHT * WIDTH):
+        elif fps <= CEILING_FPS:
             verdict = "device-throughput"
     return {
         "verdict": verdict,
@@ -1029,8 +1075,11 @@ def main():
             "chunk_gate_s": tpu["chunk_gate_s"],
             "stage_ms": tpu["stage_ms"],
             "cpu_reference_fps": round(cpu_fps, 3),
-            "healthy_reference": "28k-101k fps on a healthy tunnel "
-                                 "(BASELINE.md, same binary)",
+            "healthy_reference": ("physically-consistent band: 100 fps "
+                                  f"to ~{CEILING_FPS:.0f} fps on one v5e "
+                                  "(docs/PERF.md round-4 accounting; the "
+                                  "pre-round-4 28k-101k records were "
+                                  "barrier-defeat artifacts)"),
             "last_healthy_record": load_last_healthy(healthy_path),
         }
         if slope is not None:
@@ -1069,6 +1118,9 @@ def main():
             "tunnel_rtt_s": tpu["tunnel_rtt_s"],
             "chunk_gate_s": tpu["chunk_gate_s"],
             "hbm_io_gbps": round(4.0 * HEIGHT * WIDTH * fps / 1e9, 1),
+            "hbm_min_traffic_gbps": round(
+                MIN_BYTES_PER_FRAME * fps / 1e9, 1),
+            "physical_ceiling_fps": round(CEILING_FPS, 0),
             "cpu_reference_fps": round(cpu_fps, 3),
             "extras_skipped": ("liteflownet/e2e stages skipped: their "
                                "single-chain timings would measure the "
@@ -1144,9 +1196,47 @@ def main():
         "chunk_gate_s": tpu["chunk_gate_s"],
         "stage_ms": tpu["stage_ms"],
         "hbm_io_gbps": tpu["hbm_io_gbps"],
-        "vmem_resident_state_mb": tpu["vmem_resident_state_mb"],
+        "hbm_min_traffic_gbps": tpu["hbm_min_traffic_gbps"],
+        "physical_ceiling_fps": tpu["physical_ceiling_fps"],
+        "carry_state_mb": tpu["carry_state_mb"],
         "cpu_reference_fps": round(cpu_fps, 3),
     }
+    # Methodology cross-check (round 4): the standard chained-readback
+    # figure is only as strong as its completion barrier, and this
+    # environment's tunnel has defeated weaker barriers before. The slope
+    # methodology (ONE dispatch per sample, every output pixel feeding a
+    # returned checksum) cannot be short-circuited; in a healthy window
+    # its ladder costs seconds. If the two methods agree within 2x, the
+    # standard figure stands with the cross-check attached; if they
+    # disagree, the slope figure IS the measurement and the standard one
+    # is recorded as the artifact it just proved to be.
+    if (os.environ.get("TRANSFLOW_BENCH_CROSSCHECK", "1") != "0"
+            and watchdog.remaining_s() > 420.0):
+        watchdog.rearm("slope-crosscheck")
+        try:
+            cross = bench_slope(watchdog, budget_s=min(
+                420.0, watchdog.remaining_s() - 300.0))
+        except Exception as exc:
+            cross = {"verdict": "unmeasurable", "error": repr(exc)[:200]}
+        record["slope_crosscheck"] = cross
+        if cross.get("verdict") == "device-throughput":
+            slope_fps = float(cross["value"])
+            std_fps = float(record["value"])
+            ratio = max(slope_fps, std_fps) / max(1e-9, min(slope_fps,
+                                                            std_fps))
+            if ratio > 2.0:
+                record["chained_readback_fps_artifact"] = std_fps
+                record["value"] = round(slope_fps, 2)
+                record["vs_baseline"] = round(slope_fps / cpu_fps, 2)
+                record["ms_per_frame"] = round(1000.0 / slope_fps, 4)
+                record["hbm_min_traffic_gbps"] = round(
+                    MIN_BYTES_PER_FRAME * slope_fps / 1e9, 1)
+                record["method"] = (
+                    "slope-regression (primary): the chained-readback "
+                    f"figure ({std_fps:.0f} fps) disagrees {ratio:.1f}x "
+                    "with the checksum-barriered slope figure — its "
+                    "completion barrier was defeated; the slope "
+                    "measurement is the defensible number")
     # The flagship measurement is DONE: persist + stash it before any
     # optional stage runs, so a stall in the extras (fresh sick window,
     # long compile) degrades to extras_truncated — never to a refusal.

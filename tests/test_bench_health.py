@@ -42,11 +42,28 @@ def test_dead_tunnel_flagged():
 
 
 def test_healthy_regime_passes():
-    """A round-2 healthy reading: 28k fps, sub-50ms probe, fused beats
-    the stage sum."""
-    reasons = health_verdict(tunnel_rtt=0.04, chunk_rtt=0.3, fps=28000.0,
-                             ms_per_frame=0.036, est_ms=0.02,
-                             comp_ms=0.02)
+    """A physically-consistent healthy reading (inside the round-4
+    floor/ceiling band), sub-50ms probe, fused beats the stage sum."""
+    reasons = health_verdict(tunnel_rtt=0.04, chunk_rtt=0.3, fps=6000.0,
+                             ms_per_frame=0.167, est_ms=0.1,
+                             comp_ms=0.1)
+    assert reasons == []
+
+
+def test_over_ceiling_reading_flagged():
+    """Round-4 regression: the pre-round-4 'healthy' range (28k-101k fps)
+    implies more HBM traffic than the v5e has — the mapping-pair round
+    trip + frame IO alone exceed 819 GB/s at those rates. Such a reading
+    means the completion barrier was defeated and must be refused, not
+    recorded (VERDICT r3 Weak #3)."""
+    for fps in (28000.0, 69040.0, 101000.0):
+        reasons = health_verdict(tunnel_rtt=0.04, chunk_rtt=0.3, fps=fps,
+                                 ms_per_frame=1000.0 / fps, est_ms=0.02,
+                                 comp_ms=0.02)
+        assert any("non-physical" in r for r in reasons), fps
+    # just under the ceiling: accepted
+    reasons = health_verdict(tunnel_rtt=0.04, chunk_rtt=0.3, fps=19000.0,
+                             ms_per_frame=0.053, est_ms=0.03, comp_ms=0.03)
     assert reasons == []
 
 
@@ -176,10 +193,11 @@ def test_pending_record_survives_deadline(tmp_path):
 
 
 def _healthy_tpu_result():
-    return {"healthy": True, "fps": 30000.0, "ms_per_frame": 0.033,
-            "best_fps": 31000.0, "noise_iqr_pct": 2.0, "tunnel_rtt_s": 0.01,
-            "chunk_gate_s": 0.5, "stage_ms": {"estimate": 0.01},
-            "hbm_io_gbps": 200.0, "vmem_resident_state_mb": 40.0,
+    return {"healthy": True, "fps": 6000.0, "ms_per_frame": 0.167,
+            "best_fps": 6200.0, "noise_iqr_pct": 2.0, "tunnel_rtt_s": 0.01,
+            "chunk_gate_s": 0.5, "stage_ms": {"estimate": 0.1},
+            "hbm_io_gbps": 49.8, "hbm_min_traffic_gbps": 248.9,
+            "physical_ceiling_fps": 19748.0, "carry_state_mb": 60.1,
             "unhealthy_reasons": []}
 
 
@@ -207,14 +225,22 @@ def test_main_success_runs_extras_after_flagship(monkeypatch, tmp_path,
     monkeypatch.setattr(
         bench_mod, "bench_e2e_cli",
         lambda: order.append("e2e") or {"e2e_fps_still": 5.0})
+    monkeypatch.setattr(
+        bench_mod, "bench_slope",
+        lambda watchdog=None, budget_s=0: order.append("cross") or {
+            "verdict": "device-throughput", "value": 5500.0,
+            "intercept_s": 0.03, "r2": 0.999, "n_points": 9, "samples": []})
     monkeypatch.setattr(sys, "argv", ["bench.py", "--e2e"])
     monkeypatch.delenv("TRANSFLOW_BENCH_LITEFLOWNET", raising=False)
+    monkeypatch.delenv("TRANSFLOW_BENCH_CROSSCHECK", raising=False)
     bench_mod.main()
-    assert order == ["tpu", "lfn", "e2e"]
+    assert order == ["tpu", "cross", "lfn", "e2e"]
     record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert record["healthy"] is True
-    assert record["value"] == 30000.0
-    assert record["vs_baseline"] == 30000.0
+    # slope agrees within 2x: the standard figure stands, evidence attached
+    assert record["value"] == 6000.0
+    assert record["vs_baseline"] == 6000.0
+    assert record["slope_crosscheck"]["value"] == 5500.0
     assert record["liteflownet_1088p_fps"] == 7.0
     assert record["e2e_fps_still"] == 5.0
     sidecar = json.load(open(tmp_path / ".bench_last_healthy.json"))
@@ -324,21 +350,25 @@ def test_slope_fit_verdicts():
     single-dispatch program; the per-dispatch quantum is the intercept."""
     import bench as bench_mod
     ns = [2048, 8192, 32768, 131072] * 3
-    # constant per-dispatch quantum + ~30k fps device: rescued
-    fit = bench_mod.slope_fit(ns, [3.0 + n / 30000.0 for n in ns])
+    # constant per-dispatch quantum + ~8k fps device: rescued
+    fit = bench_mod.slope_fit(ns, [3.0 + n / 8000.0 for n in ns])
     assert fit["verdict"] == "device-throughput"
-    assert abs(fit["value"] - 30000.0) < 1.0
+    assert abs(fit["value"] - 8000.0) < 1.0
     assert abs(fit["intercept_s"] - 3.0) < 0.01
     # marginal per-frame cost itself is huge: nothing to rescue
     fit = bench_mod.slope_fit(ns, [0.5 + n * 0.01 for n in ns])
     assert fit["verdict"] == "poll-serialized"
     # wandering quantum / cycle stair-steps: bad fit -> no number
     rng = __import__("numpy").random.default_rng(0)
-    noisy = [3.0 + n / 30000.0 + float(rng.uniform(0, 8)) for n in ns]
+    noisy = [3.0 + n / 8000.0 + float(rng.uniform(0, 80)) for n in ns]
     assert bench_mod.slope_fit(ns, noisy)["verdict"] == "unmeasurable"
-    # non-physical slope (implied fps far beyond the HBM wall): the whole
-    # ladder landed inside one poll cycle, not a measurement
+    # non-physical slope (implied fps over the round-4 physical ceiling:
+    # the mapping-pair round trip + frame IO alone would exceed the v5e's
+    # HBM bandwidth): the whole ladder landed inside one poll cycle — and
+    # the pre-round-4 28k-101k artifact range is likewise rejected
     fit = bench_mod.slope_fit(ns, [3.0 + n * 1e-9 for n in ns])
+    assert fit["verdict"] == "unmeasurable"
+    fit = bench_mod.slope_fit(ns, [3.0 + n / 69000.0 for n in ns])
     assert fit["verdict"] == "unmeasurable"
     # too few points
     assert bench_mod.slope_fit([4, 4], [1.0, 1.0])["verdict"] == \
@@ -361,10 +391,43 @@ def test_main_extras_failure_degrades_not_refuses(monkeypatch, tmp_path,
     monkeypatch.setattr(bench_mod, "_bench_liteflownet", boom)
     monkeypatch.setattr(sys, "argv", ["bench.py"])
     monkeypatch.delenv("TRANSFLOW_BENCH_LITEFLOWNET", raising=False)
+    monkeypatch.setenv("TRANSFLOW_BENCH_CROSSCHECK", "0")
     bench_mod.main()
     record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert record["healthy"] is True and record["value"] == 30000.0
+    assert record["healthy"] is True and record["value"] == 6000.0
     assert "fresh sick window" in record["liteflownet_error"]
+
+
+def test_main_crosscheck_overrides_defeated_barrier(monkeypatch, tmp_path,
+                                                    capsys):
+    """Round-4: a 'healthy' chained-readback figure that disagrees >2x
+    with the checksum-barriered slope figure is an artifact — the record
+    stays healthy but carries the slope value, with the standard figure
+    preserved as evidence."""
+    import json
+    import bench as bench_mod
+    monkeypatch.setattr(bench_mod, "_repo_dir", lambda: str(tmp_path))
+    monkeypatch.setattr(bench_mod, "bench_cpu_reference", lambda: 1.0)
+    tpu = _healthy_tpu_result()
+    tpu["fps"] = 19000.0  # under the ceiling, so the verdict passes...
+    monkeypatch.setattr(bench_mod, "bench_tpu", lambda watchdog=None: tpu)
+    monkeypatch.setattr(
+        bench_mod, "bench_slope",
+        lambda watchdog=None, budget_s=0: {
+            "verdict": "device-throughput", "value": 4200.0,
+            "intercept_s": 0.03, "r2": 0.999, "n_points": 9,
+            "samples": []})  # ...but the strong barrier says 4.5x less
+    monkeypatch.setattr(bench_mod, "_bench_liteflownet", lambda: {})
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    monkeypatch.delenv("TRANSFLOW_BENCH_CROSSCHECK", raising=False)
+    bench_mod.main()
+    record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert record["healthy"] is True
+    assert record["value"] == 4200.0
+    assert record["chained_readback_fps_artifact"] == 19000.0
+    assert "slope-regression (primary)" in record["method"]
+    sidecar = json.load(open(tmp_path / ".bench_last_healthy.json"))
+    assert sidecar["value"] == 4200.0
 
 
 def test_bench_slope_smoke(monkeypatch):
