@@ -300,6 +300,40 @@ class TestBatchedMode:
         assert pipeline._batch_size == Pipeline.AUTO_BATCH
         assert len(read_frames(out)) == 11
 
+    def test_lock_timeline_survives_checkpoint_resume(self, assets,
+                                                      tmp_path):
+        """Time-positioned locks must not re-fire after a resume: the lock
+        timeline t keeps counting across checkpoints (t_base_frames) and
+        the input/output alignment is replayed exactly (lock-stay frames
+        consume no input). The reference resets its interval cursor while
+        t keeps counting, replaying consumed locks after resume
+        (source.py:296-310) — a bug documented in docs/DEVIATIONS.md, not
+        reproduced. Found by tools/fuzz_chunks.py (round 4)."""
+        out = str(tmp_path / "lk.avi")
+        template = str(tmp_path / "lk-%03d.png")
+        cfg = Config(assets["video"], output_path=[out, template],
+                     vcodec="mjpeg",
+                     pixmap_sources=[PixmapSourceConfig(assets["image"])],
+                     lock_expr="(0.2, 0.3)", lock_mode="stay",
+                     seed=31)
+        run_pipeline(cfg, replace=True, checkpoint_every=7)
+        ckpt = str(tmp_path / "lk_00007.ckpt.zip")
+        assert os.path.isfile(ckpt)
+        originals = sorted(tmp_path.glob("lk-*.png"))
+        assert len(originals) == 14  # 11 flow pairs + 3 locked replays
+        for png in originals:
+            png.rename(tmp_path / png.name.replace("lk-", "orig-"))
+        run_pipeline(Config(ckpt), replace=True)
+        resumed = sorted(tmp_path.glob("lk-*.png"))
+        assert [p.name.split("-")[1] for p in resumed] == \
+            [p.name.split("-")[1] for p in sorted(tmp_path.glob("orig-*.png"))
+             if int(p.name.split("-")[1].split(".")[0]) >= 7]
+        for png in resumed:
+            original = cv2.imread(str(tmp_path /
+                                      png.name.replace("lk-", "orig-")))
+            got = cv2.imread(str(png))
+            assert np.array_equal(got, original), png.name
+
     def test_batched_random_reset_matches_mid_run_checkpoint(self, assets,
                                                              tmp_path):
         """Checkpoint cadence stays exact under auto-batching (chunks are

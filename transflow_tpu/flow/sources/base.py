@@ -86,6 +86,9 @@ class FlowSource:
         self.lock_interval_index = 0
         self.lock_skip_fn: Optional[Callable] = None
         self.lock_start: float | None = None
+        # output frames rendered before this instance (checkpoint resume):
+        # keeps the lock timeline t continuous across resumes
+        self.t_base_frames = 0
         self._opened = False
 
     # ------------------------------------------------------------------
@@ -154,7 +157,33 @@ class FlowSource:
         self.ckpt_start_frame = self.start_frame
         if self.seek_ckpt is not None:
             span = max(1, self.end_frame - self.start_frame)
-            self.ckpt_start_frame += self.seek_ckpt % span
+            if (self.lock_mode == LockMode.STAY
+                    and self.lock_intervals is not None):
+                # Locks shift the input/output alignment: a lock-stay frame
+                # replays prev_flow and consumes NO input, so the input
+                # position after ``seek_ckpt`` outputs is not a simple
+                # modulo. Replay the lock bookkeeping for the already-
+                # rendered outputs (pure integer host loop) — this both
+                # finds the true input position and reconstructs the
+                # interval cursor/lock_start state, so resume==original
+                # bit-exactly. (The reference instead resets its interval
+                # index while t keeps counting, replaying consumed locks
+                # after resume — source.py:296-310 — a bug we document in
+                # docs/DEVIATIONS.md rather than reproduce.)
+                consumed = 0
+                for _ in range(self.seek_ckpt):
+                    if not self._locked():
+                        consumed += 1
+                    self.output_frame_index += 1
+                self.output_frame_index = 0
+                self.ckpt_start_frame += consumed % span
+            else:
+                # no lock (or lock-skip, which consumes exactly one input
+                # per output either way): input position is a modulo
+                self.ckpt_start_frame += self.seek_ckpt % span
+            # t must keep counting across the resume so time-positioned
+            # locks (stay intervals, skip expressions of t) don't re-fire
+            self.t_base_frames = self.seek_ckpt
             if self.length is not None:
                 self.length = max(0, self.length - self.seek_ckpt)
         self.rewind(self.ckpt_start_frame)
@@ -177,7 +206,8 @@ class FlowSource:
     @property
     def t(self) -> float:
         return (0.0 if not self.framerate
-                else self.output_frame_index / self.framerate)
+                else (self.t_base_frames + self.output_frame_index)
+                / self.framerate)
 
     def rewind(self, frame_index: int | None = None):
         if frame_index is None:
@@ -225,6 +255,11 @@ class FlowSource:
         locked = self._locked()
         if locked:
             if self.output_frame_index == 0:
+                # parity: reference source.py:313-314 (also fires when a
+                # checkpoint resume lands inside a lock window — the
+                # replayed flow predates the resume and is not
+                # reconstructable; the reference crashes there too, less
+                # legibly, via its None prev_flow)
                 raise RuntimeError(
                     "Flow is locked but has not been initialized. "
                     "Maybe lock the flow later?")
