@@ -69,8 +69,10 @@ HEIGHT, WIDTH = 1080, 1920
 # completion barrier was defeated, not the hardware transcended — and is
 # refused the same way quantized-regime readings are.
 HBM_GBPS = 819.0  # TPU v5e
-MIN_BYTES_PER_FRAME = 2 * (2 * 4 * HEIGHT * WIDTH) + 4 * HEIGHT * WIDTH
-CEILING_FPS = HBM_GBPS * 1e9 / MIN_BYTES_PER_FRAME  # ~19.7k fps
+# mapping pair is int16 since the round-4 state compaction
+# (compositor/core.py POS_DTYPE): 2 arrays x 2 bytes, read+written
+MIN_BYTES_PER_FRAME = 2 * (2 * 2 * HEIGHT * WIDTH) + 4 * HEIGHT * WIDTH
+CEILING_FPS = HBM_GBPS * 1e9 / MIN_BYTES_PER_FRAME  # ~32.9k fps
 
 CHUNK = 16             # frames per device dispatch (lax.scan)
 CHUNKS_PER_SAMPLE = 32  # chained dispatches per timed sample (~5 ms device)

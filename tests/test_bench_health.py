@@ -56,14 +56,14 @@ def test_over_ceiling_reading_flagged():
     trip + frame IO alone exceed 819 GB/s at those rates. Such a reading
     means the completion barrier was defeated and must be refused, not
     recorded (VERDICT r3 Weak #3)."""
-    for fps in (28000.0, 69040.0, 101000.0):
+    for fps in (40000.0, 69040.0, 101000.0):
         reasons = health_verdict(tunnel_rtt=0.04, chunk_rtt=0.3, fps=fps,
                                  ms_per_frame=1000.0 / fps, est_ms=0.02,
                                  comp_ms=0.02)
         assert any("non-physical" in r for r in reasons), fps
     # just under the ceiling: accepted
-    reasons = health_verdict(tunnel_rtt=0.04, chunk_rtt=0.3, fps=19000.0,
-                             ms_per_frame=0.053, est_ms=0.03, comp_ms=0.03)
+    reasons = health_verdict(tunnel_rtt=0.04, chunk_rtt=0.3, fps=30000.0,
+                             ms_per_frame=0.033, est_ms=0.02, comp_ms=0.02)
     assert reasons == []
 
 

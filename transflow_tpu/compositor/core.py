@@ -34,6 +34,19 @@ from ..utils import load_bool_mask, load_float_mask, parse_color
 from ..ops.halo_gather import bounded_row_gather
 from ..ops.scatter import scatter_any
 
+# Compact carry dtypes (round 4): the layer state round-trips HBM every
+# scan iteration (docs/PERF.md corrected accounting), so its footprint is
+# the dominant per-frame traffic. The mapping pair holds in-frame
+# coordinates (< 32768 for any real video — asserted at init), alpha is
+# 0..255 by construction (a pixmap alpha byte or 0/1), and source indexes
+# < 256 pixmap sources (the GUI caps at 5). Halving/quartering these
+# leaves cuts the flagship carry ~60 -> ~38 MB. SumLayer keeps int32
+# positions: its additive displacement is unbounded (reference
+# sum.py:9-14) and can leave the int16 range on long runs.
+POS_DTYPE = jnp.int16
+ALPHA_DTYPE = jnp.uint8
+SOURCE_DTYPE = jnp.uint8
+
 
 # --------------------------------------------------------------------------
 # Layer parameter bundles (host-side, static per pipeline)
@@ -85,9 +98,9 @@ class LayerParams:
 
         Parity: transflow/compositor/layers/reference.py:46-52.
         """
-        source = jnp.zeros((self.height, self.width), dtype=jnp.int32)
+        source = jnp.zeros((self.height, self.width), dtype=SOURCE_DTYPE)
         for s, mask in enumerate(self.intro_masks):
-            source = jnp.where(mask, jnp.int32(s), source)
+            source = jnp.where(mask, jnp.asarray(s, SOURCE_DTYPE), source)
         return source
 
 
@@ -104,6 +117,8 @@ def _base_coords(height: int, width: int):
 def init_layer_state(params: LayerParams) -> dict:
     h, w = params.height, params.width
     classname = params.cfg.classname
+    assert h < 32768 and w < 32768, "POS_DTYPE int16 requires dims < 32768"
+    assert len(params.intro_masks) < 256, "SOURCE_DTYPE uint8 caps sources"
     rgba = jnp.zeros((h, w, 4), dtype=jnp.uint8)
     if classname == "static":
         # StaticLayer starts opaque (static.py:9-12)
@@ -111,19 +126,21 @@ def init_layer_state(params: LayerParams) -> dict:
     if classname == "introduction":
         return {
             "rgb": jnp.zeros((h, w, 3), dtype=jnp.uint8),
-            "alpha": jnp.zeros((h, w), dtype=jnp.int32),
-            "source": jnp.zeros((h, w), dtype=jnp.int32),
-            "pos_i": jnp.zeros((h, w), dtype=jnp.int32),
-            "pos_j": jnp.zeros((h, w), dtype=jnp.int32),
+            "alpha": jnp.zeros((h, w), dtype=ALPHA_DTYPE),
+            "source": jnp.zeros((h, w), dtype=SOURCE_DTYPE),
+            "pos_i": jnp.zeros((h, w), dtype=POS_DTYPE),
+            "pos_j": jnp.zeros((h, w), dtype=POS_DTYPE),
             "frame": jnp.zeros((h, w), dtype=jnp.int32),
             "introduced_once": jnp.zeros((), dtype=jnp.bool_),
         }
-    # moveref / sum: identity mapping, opaque (reference.py:38-42)
+    # moveref / sum: identity mapping, opaque (reference.py:38-42).
+    # Sum keeps int32 positions (unbounded accumulation, see POS_DTYPE).
+    pos_dtype = jnp.int32 if classname == "sum" else POS_DTYPE
     ii, jj = _base_coords(h, w)
     return {
-        "pos_i": ii,
-        "pos_j": jj,
-        "alpha": jnp.ones((h, w), dtype=jnp.int32),
+        "pos_i": ii.astype(pos_dtype),
+        "pos_j": jj.astype(pos_dtype),
+        "alpha": jnp.ones((h, w), dtype=ALPHA_DTYPE),
         "source": params.base_source(),
         "rgba": rgba,
     }
@@ -220,14 +237,15 @@ def _reset(params: LayerParams, state: dict, key) -> dict:
         rand = jax.random.uniform(key, (h, w))
         reset = rand < cfg.reset_random_factor * params.reset_mask
         state = dict(state)
-        state["pos_i"] = jnp.where(reset, ii, pos_i)
-        state["pos_j"] = jnp.where(reset, jj, pos_j)
+        state["pos_i"] = jnp.where(reset, ii.astype(pos_i.dtype), pos_i)
+        state["pos_j"] = jnp.where(reset, jj.astype(pos_j.dtype), pos_j)
         state["alpha"] = jnp.where(reset, jnp.ones_like(state["alpha"]),
                                    state["alpha"])
         if cfg.reset_source:
             source = state["source"]
             for s, mask in enumerate(params.intro_masks):
-                source = jnp.where(reset & mask, jnp.int32(s), source)
+                source = jnp.where(reset & mask,
+                                   jnp.asarray(s, source.dtype), source)
             state["source"] = source
         return state
     d_i = (ii - pos_i).astype(jnp.float32)
@@ -250,8 +268,12 @@ def _reset(params: LayerParams, state: dict, key) -> dict:
     else:
         raise ValueError(f"Unknown reset mode {mode}")
     state = dict(state)
-    state["pos_i"] = pos_i + jnp.round(step_i).astype(jnp.int32)
-    state["pos_j"] = pos_j + jnp.round(step_j).astype(jnp.int32)
+    # int16 + int32 promotes to int32; cast back to the carry dtype (the
+    # stepped position stays in-frame for moveref, so this never wraps)
+    state["pos_i"] = (pos_i + jnp.round(step_i).astype(jnp.int32)) \
+        .astype(pos_i.dtype)
+    state["pos_j"] = (pos_j + jnp.round(step_j).astype(jnp.int32)) \
+        .astype(pos_j.dtype)
     return state
 
 
@@ -304,8 +326,11 @@ def update_sum(params: LayerParams, state: dict, flow, pixmaps, key,
 
     Parity: sum.py:9-14 with the component transposition fixed (dy -> i)."""
     state = dict(state)
-    state["pos_i"] = state["pos_i"] + jnp.floor(flow[..., 1]).astype(jnp.int32)
-    state["pos_j"] = state["pos_j"] + jnp.floor(flow[..., 0]).astype(jnp.int32)
+    # sum positions are int32 (init_layer_state) — unbounded accumulation
+    state["pos_i"] = (state["pos_i"]
+                      + jnp.floor(flow[..., 1]).astype(jnp.int32))
+    state["pos_j"] = (state["pos_j"]
+                      + jnp.floor(flow[..., 0]).astype(jnp.int32))
     state = _reset(params, state, key)
     return _reference_rgba(params, state, pixmaps)
 
@@ -367,14 +392,17 @@ def update_introduction(params: LayerParams, state: dict, flow, pixmaps,
         gathered = pixmap[gi, gj]
         new_rgb = gathered[..., :3]
         if params.channel_counts[s] == 4:
-            new_a = gathered[..., 3].astype(jnp.int32)
+            new_a = gathered[..., 3].astype(ALPHA_DTYPE)
         else:
-            new_a = jnp.ones((h, w), dtype=jnp.int32)
+            new_a = jnp.ones((h, w), dtype=ALPHA_DTYPE)
         state["rgb"] = jnp.where(tgt[..., None], new_rgb, state["rgb"])
         state["alpha"] = jnp.where(tgt, new_a, state["alpha"])
-        state["source"] = jnp.where(tgt, jnp.int32(s), state["source"])
-        state["pos_i"] = jnp.where(tgt, gi, state["pos_i"])
-        state["pos_j"] = jnp.where(tgt, gj, state["pos_j"])
+        state["source"] = jnp.where(tgt, jnp.asarray(s, SOURCE_DTYPE),
+                                    state["source"])
+        state["pos_i"] = jnp.where(tgt, gi.astype(POS_DTYPE),
+                                   state["pos_i"])
+        state["pos_j"] = jnp.where(tgt, gj.astype(POS_DTYPE),
+                                   state["pos_j"])
         state["frame"] = jnp.where(
             tgt, jnp.asarray(frame_numbers[s], dtype=jnp.int32),
             state["frame"])
@@ -391,12 +419,12 @@ def render_layer(params: LayerParams, state: dict):
 
     Returns (new_state, rgba uint8)."""
     if params.cfg.classname == "introduction":
-        alpha = (params.mask_alpha
-                 * state["alpha"].astype(jnp.float32)).astype(jnp.int32)
+        alpha = jnp.clip(params.mask_alpha
+                         * state["alpha"].astype(jnp.float32),
+                         0, 255).astype(ALPHA_DTYPE)
         state = dict(state, alpha=alpha)
         rgba = jnp.concatenate(
-            [state["rgb"],
-             jnp.clip(alpha, 0, 255).astype(jnp.uint8)[..., None]], axis=-1)
+            [state["rgb"], alpha.astype(jnp.uint8)[..., None]], axis=-1)
         return state, rgba
     rgba = state["rgba"]
     alpha = (params.mask_alpha

@@ -418,6 +418,11 @@ class Engine:
                 if stored is None:
                     loaded[name] = value
                 else:
-                    loaded[name] = self._put_state(np.asarray(stored))
+                    # cast to the live carry dtype: checkpoints written
+                    # before the round-4 state compaction (docs/PERF.md)
+                    # store int32 mapping/alpha/source leaves
+                    loaded[name] = self._put_state(
+                        np.asarray(stored).astype(np.asarray(value).dtype,
+                                                  copy=False))
             new_state.append(loaded)
         self.comp_state = new_state
