@@ -21,7 +21,7 @@ median of REPEATS samples. The figure is physically auditable BOTH ways
 MIN_BYTES_PER_FRAME (the mapping-pair round trip + frame IO — the 60 MB
 carry does NOT stay VMEM-resident; the compile reports 1.53 GB of temps
 per chunk), so a healthy reading must land between the 100-fps physical
-floor and CEILING_FPS (~19.7k); anything outside is refused as an
+floor and CEILING_FPS (~32.9k); anything outside is refused as an
 infrastructure artifact. A healthy standard reading is additionally
 cross-checked against the slope methodology (program-length regression
 with an on-device checksum accumulator — immune to readback
@@ -61,7 +61,7 @@ HEIGHT, WIDTH = 1080, 1920
 # VMEM-resident across scan iterations — the carry round-trips HBM every
 # frame. MIN_BYTES_PER_FRAME is a deliberate UNDER-estimate of that
 # traffic (so CEILING_FPS over-estimates the ceiling and never refuses a
-# genuine reading): the (H,W) int32 mapping pair alone is read and
+# genuine reading): the (H,W) mapping pair alone is read and
 # rewritten every frame by the movement permutation, one gray frame is
 # read, one rgb frame is written. Alpha, warm-start flow, the rest of the
 # 60 MB carry, and the estimator temps only ADD traffic. Any fps reading
@@ -290,7 +290,10 @@ def bench_tpu(watchdog=None) -> dict:
         st, rg = model.jit_scan(holder["state"], gray_sets[1], pixmaps,
                                 jnp.float32(chunk_no[0]), keys[1])
         chunk_no[0] += 1
-        int(np.asarray(rg[-1, 0, 0, 0]))
+        # full-tensor checksum barrier: a single-element readback has
+        # been defeated by this environment before (round-4 audit); the
+        # sum cannot exist until every output byte was computed
+        int(np.asarray(jnp.sum(rg.astype(jnp.uint32))))
         holder["state"] = st
         chunk_rtt = time.perf_counter() - start
         # a healthy 16-frame chunk reads back in well under a second; the
@@ -351,7 +354,9 @@ def bench_tpu(watchdog=None) -> dict:
             current, rgbs = model.jit_scan(
                 current, gray_sets[i % GRAY_SETS], pixmaps,
                 jnp.float32(base + i), jax.random.fold_in(keys[0], base + i))
-        int(np.asarray(rgbs[-1, 0, 0, 0]))
+        # checksum of the final chunk's full output (the state chain
+        # serializes the 31 before it); see the chunk-gate comment
+        int(np.asarray(jnp.sum(rgbs.astype(jnp.uint32))))
         holder["state"] = current
         return time.perf_counter() - start
 
@@ -430,7 +435,7 @@ def bench_tpu(watchdog=None) -> dict:
         for i in range(CHUNKS_PER_SAMPLE):
             comp, rgb = comp_call(comp, jax.random.fold_in(
                 keys[0], base + i))
-        int(np.asarray(rgb[0, 0, 0]))
+        int(np.asarray(jnp.sum(rgb.astype(jnp.uint32))))
         comp_holder["comp"] = comp
         return time.perf_counter() - start
 
