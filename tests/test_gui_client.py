@@ -80,32 +80,65 @@ def test_generate_json_round_trips_two_layers_two_pixmaps():
     payload = {
         "flow_path": "flow.mp4",
         "direction": "backward",
+        "use_mvs": False,
+        "cv_config": {"method": "horn-schunck"},
         "seek_time": "00:00:02",
         "duration_time": None,
         "repeat": 2,
         "flow_filters": "clip=8",
         "mask_path": None,
+        "kernel_path": "assets/kernels/3x3/blur-gaussian.npy",
+        "lock_mode": "stay",
+        "lock_expr": "(0.5, 0.2)",
+        "vcodec": "h264",
+        "render_scale": 1.0,
+        "render_colors": None,
+        "render_binary": False,
         "compositor_background": "#102030",
         "output_path": "out.mp4",
         "view_flow": False,
         "view_flow_magnitude": False,
         "pixmap_sources": [
             {"path": "a.png", "layers": [0], "introduction_path": None,
-             "seek_time": None, "repeat": 1},
+             "alteration_path": None, "seek_time": None, "repeat": 1},
             {"path": "b.mp4", "layers": [0, 1], "introduction_path": None,
+             "alteration_path": "alt.png",
              "seek_time": "00:00:01.500", "repeat": 3},
         ],
         "layers": [
-            {"index": 0, "classname": "moveref", "reset_mode": "random",
-             "reset_random_factor": 0.1, "reset_constant_step": 0.1,
-             "reset_linear_factor": 0.1, "mask_alpha": None,
+            {"index": 0, "classname": "moveref",
+             "mask_src": None, "mask_dst": "border-left:10%",
+             "mask_alpha": None,
+             "transparent_pixels_can_move": False,
+             "pixels_can_move_to_empty_spot": True,
+             "pixels_can_move_to_filled_spot": False,
              "moving_pixels_leave_empty_spot": False,
-             "introduce_once": False},
-            {"index": 1, "classname": "introduction", "reset_mode": "off",
-             "reset_random_factor": 0.5, "reset_constant_step": 0.5,
-             "reset_linear_factor": 0.5, "mask_alpha": None,
+             "reset_mode": "random", "reset_mask": None,
+             "reset_random_factor": 0.1, "reset_constant_step": 1.0,
+             "reset_linear_factor": 0.1, "reset_source": True,
+             "introduce_pixels_on_empty_spots": True,
+             "introduce_pixels_on_filled_spots": True,
+             "introduce_moving_pixels": True,
+             "introduce_unmoving_pixels": True,
+             "introduce_once": False,
+             "introduce_on_all_filled_spots": False,
+             "introduce_on_all_empty_spots": False},
+            {"index": 1, "classname": "introduction",
+             "mask_src": None, "mask_dst": None, "mask_alpha": None,
+             "transparent_pixels_can_move": False,
+             "pixels_can_move_to_empty_spot": True,
+             "pixels_can_move_to_filled_spot": True,
              "moving_pixels_leave_empty_spot": True,
-             "introduce_once": True},
+             "reset_mode": "off", "reset_mask": None,
+             "reset_random_factor": 0.5, "reset_constant_step": 0.5,
+             "reset_linear_factor": 0.5, "reset_source": False,
+             "introduce_pixels_on_empty_spots": True,
+             "introduce_pixels_on_filled_spots": False,
+             "introduce_moving_pixels": True,
+             "introduce_unmoving_pixels": False,
+             "introduce_once": True,
+             "introduce_on_all_filled_spots": False,
+             "introduce_on_all_empty_spots": False},
         ],
         "seed": 7,
         "batch_frames": 4,
@@ -129,6 +162,49 @@ def test_generate_json_round_trips_two_layers_two_pixmaps():
     assert cfg.layers[1].classname == "introduction"
     assert cfg.layers[1].introduce_once is True
     assert cfg.layers[1].moving_pixels_leave_empty_spot is True
+    assert cfg.layers[0].pixels_can_move_to_filled_spot is False
+    assert cfg.layers[0].reset_source is True
+    assert cfg.layers[1].introduce_pixels_on_filled_spots is False
+    assert cfg.cv_config == {"method": "horn-schunck"}
+    assert cfg.kernel_path.endswith("blur-gaussian.npy")
+    assert cfg.pixmap_sources[1].alteration_path == "alt.png"
     # round trip: what the server would re-serialize matches
     again = Config.fromdict(cfg.todict())
     assert [l.index for l in again.layers] == [0, 1]
+    assert again.cv_config == {"method": "horn-schunck"}
+
+
+def test_inline_cv_config_drives_a_render(tmp_path):
+    """cv_config as an inline dict (what the client's method select sends)
+    routes through CvFlowConfig end-to-end."""
+    import cv2
+    import numpy as np
+    from transflow_tpu.pipeline import Pipeline
+    video = str(tmp_path / "v.avi")
+    writer = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                             (64, 48))
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    for t in range(5):
+        writer.write(np.roll(base, shift=2 * t, axis=1))
+    writer.release()
+    out = str(tmp_path / "o.avi")
+    cfg = Config(video, cv_config={"method": "horn-schunck",
+                                   "hs_iterations": 2},
+                 pixmap_sources=[PixmapSourceConfig("noise", layers=[0])],
+                 output_path=out, vcodec="mjpeg", seed=3)
+    Pipeline(cfg, progress=False, execute=False).run()
+    assert os.path.exists(out)
+    # a bad inline config is refused
+    import pytest
+    cfg = Config(video, cv_config={"method": "nope"},
+                 pixmap_sources=[PixmapSourceConfig("noise", layers=[0])],
+                 output_path=out, vcodec="mjpeg", seed=3)
+    with pytest.raises(Exception):
+        Pipeline(cfg, progress=False, execute=False).run()
+    # ...and a dangling path no longer silently falls back to defaults
+    cfg = Config(video, cv_config="/no/such/file.json",
+                 pixmap_sources=[PixmapSourceConfig("noise", layers=[0])],
+                 output_path=out, vcodec="mjpeg", seed=3)
+    with pytest.raises(Exception):
+        Pipeline(cfg, progress=False, execute=False).run()

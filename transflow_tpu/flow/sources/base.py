@@ -338,10 +338,22 @@ class FlowSource:
             from .mv import MotionVectorFlowSource
             return MotionVectorFlowSource(file, avformat, **kwargs)
         from .cv import CvFlowConfig, CvFlowSource
-        if cv_config is not None and os.path.isfile(cv_config):
+        if isinstance(cv_config, dict):
+            # inline settings (the GUI client sends {"method": ...} dicts;
+            # config JSON files may embed them the same way)
+            config = CvFlowConfig(**cv_config)
+        elif cv_config is not None and os.path.isfile(cv_config):
             config = CvFlowConfig.from_file(cv_config)
         elif cv_config == "window":
             config = CvFlowConfig(show_window=True)
+        elif isinstance(cv_config, str) and cv_config.lstrip().startswith("{"):
+            # inline JSON on the CLI: -c '{"method": "horn-schunck"}'
+            import json as _json
+            config = CvFlowConfig(**_json.loads(cv_config))
+        elif cv_config is not None:
+            raise FileNotFoundError(
+                f"cv_config {cv_config!r} is neither a file, 'window', nor "
+                "inline JSON")
         else:
             config = CvFlowConfig()
         return CvFlowSource(file, config, size, **kwargs)

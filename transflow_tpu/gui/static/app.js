@@ -56,13 +56,27 @@ function loadState() {
 
 function newPixmap() {
   return { path: "noise", layers: "0", introduction_path: "",
-           seek_time: "", repeat: 1 };
+           alteration_path: "", seek_time: "", repeat: 1 };
 }
 
 function newLayer(index) {
-  return { index, classname: "moveref", reset_mode: "off",
-           reset_factor: 0.1, mask_alpha: "",
-           moving_pixels_leave_empty_spot: false, introduce_once: false };
+  // defaults mirror the reference client's layer template (master.js:31-53)
+  return { index, classname: "moveref",
+           mask_src: "", mask_dst: "", mask_alpha: "",
+           transparent_pixels_can_move: false,
+           pixels_can_move_to_empty_spot: true,
+           pixels_can_move_to_filled_spot: true,
+           moving_pixels_leave_empty_spot: false,
+           reset_mode: "off", reset_mask: "",
+           reset_random_factor: 0.1, reset_constant_step: 1,
+           reset_linear_factor: 0.1, reset_source: false,
+           introduce_pixels_on_empty_spots: true,
+           introduce_pixels_on_filled_spots: true,
+           introduce_moving_pixels: true,
+           introduce_unmoving_pixels: true,
+           introduce_once: false,
+           introduce_on_all_filled_spots: false,
+           introduce_on_all_empty_spots: false };
 }
 
 function renderPixmaps() {
@@ -81,6 +95,7 @@ function renderPixmaps() {
       </div>
       <div class="row">
         <label>Introduction <input data-k="introduction_path" placeholder="mask DSL"></label>
+        <label>Alteration <input data-k="alteration_path" placeholder="overlay PNG"></label>
         <label>Seek <input data-k="seek_time" size="8"></label>
         <label>Repeat <input data-k="repeat" type="number" min="0" size="3"></label>
       </div>`;
@@ -111,6 +126,8 @@ function renderLayers() {
   layers.forEach((layer, i) => {
     const div = document.createElement("div");
     div.className = "item";
+    // collapsible movement/reset/introduction groups mirror the reference
+    // client's details panes (master.js movement/introduction/resetDetails)
     div.innerHTML = `
       <div class="row">
         <label>Index <input data-k="index" type="number" size="2"></label>
@@ -119,19 +136,50 @@ function renderLayers() {
             <option>moveref</option><option>introduction</option>
             <option>static</option><option>sum</option>
           </select></label>
-        <label>Reset
-          <select data-k="reset_mode">
-            <option>off</option><option>random</option>
-            <option>constant</option><option>linear</option>
-          </select></label>
-        <label>Factor <input data-k="reset_factor" type="number" step="0.01" size="5"></label>
+        <label>Alpha mask <input data-k="mask_alpha" placeholder="mask DSL"></label>
         <button class="mini danger" data-del>&times;</button>
       </div>
-      <div class="row">
-        <label>Alpha mask <input data-k="mask_alpha" placeholder="mask DSL"></label>
-        <label><input data-k="moving_pixels_leave_empty_spot" type="checkbox"> leave empty</label>
-        <label><input data-k="introduce_once" type="checkbox"> introduce once</label>
-      </div>`;
+      <details><summary>Movement</summary>
+        <div class="row">
+          <label>Src mask <input data-k="mask_src" placeholder="mask DSL"></label>
+          <label>Dst mask <input data-k="mask_dst" placeholder="mask DSL"></label>
+        </div>
+        <div class="row">
+          <label><input data-k="transparent_pixels_can_move" type="checkbox"> transparent move</label>
+          <label><input data-k="pixels_can_move_to_empty_spot" type="checkbox"> to empty</label>
+          <label><input data-k="pixels_can_move_to_filled_spot" type="checkbox"> to filled</label>
+          <label><input data-k="moving_pixels_leave_empty_spot" type="checkbox"> leave empty</label>
+        </div>
+      </details>
+      <details><summary>Reset</summary>
+        <div class="row">
+          <label>Mode
+            <select data-k="reset_mode">
+              <option>off</option><option>random</option>
+              <option>constant</option><option>linear</option>
+            </select></label>
+          <label>Mask <input data-k="reset_mask" placeholder="mask DSL"></label>
+          <label><input data-k="reset_source" type="checkbox"> reset source</label>
+        </div>
+        <div class="row">
+          <label>Random <input data-k="reset_random_factor" type="number" step="0.01" size="5"></label>
+          <label>Constant <input data-k="reset_constant_step" type="number" step="0.1" size="5"></label>
+          <label>Linear <input data-k="reset_linear_factor" type="number" step="0.01" size="5"></label>
+        </div>
+      </details>
+      <details><summary>Introduction</summary>
+        <div class="row">
+          <label><input data-k="introduce_pixels_on_empty_spots" type="checkbox"> on empty</label>
+          <label><input data-k="introduce_pixels_on_filled_spots" type="checkbox"> on filled</label>
+          <label><input data-k="introduce_moving_pixels" type="checkbox"> moving</label>
+          <label><input data-k="introduce_unmoving_pixels" type="checkbox"> unmoving</label>
+        </div>
+        <div class="row">
+          <label><input data-k="introduce_once" type="checkbox"> once</label>
+          <label><input data-k="introduce_on_all_filled_spots" type="checkbox"> force all filled</label>
+          <label><input data-k="introduce_on_all_empty_spots" type="checkbox"> force all empty</label>
+        </div>
+      </details>`;
     for (const input of div.querySelectorAll("[data-k]")) {
       const key = input.dataset.k;
       if (input.type === "checkbox") input.checked = !!layer[key];
@@ -159,33 +207,56 @@ function buildConfig() {
   const config = {
     flow_path: value("flow_path"),
     direction: $("direction").value,
+    use_mvs: $("use_mvs").checked,
+    cv_config: value("cv_config_path") || { method: $("method").value },
     seek_time: value("seek_time"),
     duration_time: value("duration_time"),
     repeat: parseInt($("repeat").value || "1", 10),
     flow_filters: value("flow_filters"),
     mask_path: value("mask_path"),
+    kernel_path: value("kernel_path"),
+    lock_mode: $("lock_mode").value || null,
+    lock_expr: value("lock_expr"),
     compositor_background: value("background") || "#ffffff",
     output_path: value("output_path"),
+    vcodec: value("vcodec") || "h264",
     view_flow: $("view_flow").checked,
     view_flow_magnitude: $("view_flow_magnitude").checked,
+    render_scale: parseFloat($("render_scale").value || "1"),
+    render_colors: value("render_colors"),
+    render_binary: $("render_binary").checked,
     pixmap_sources: pixmaps.map((p) => ({
       path: p.path,
       layers: String(p.layers).split(",").map(s => parseInt(s, 10))
                  .filter(n => !isNaN(n)),
       introduction_path: p.introduction_path || null,
+      alteration_path: p.alteration_path || null,
       seek_time: p.seek_time || null,
       repeat: parseInt(p.repeat || "1", 10),
     })),
     layers: layers.slice(0, MAX_LAYERS).map((l) => ({
       index: parseInt(l.index, 10),
       classname: l.classname,
-      reset_mode: l.reset_mode,
-      reset_random_factor: parseFloat(l.reset_factor),
-      reset_constant_step: parseFloat(l.reset_factor),
-      reset_linear_factor: parseFloat(l.reset_factor),
+      mask_src: l.mask_src || null,
+      mask_dst: l.mask_dst || null,
       mask_alpha: l.mask_alpha || null,
+      transparent_pixels_can_move: !!l.transparent_pixels_can_move,
+      pixels_can_move_to_empty_spot: !!l.pixels_can_move_to_empty_spot,
+      pixels_can_move_to_filled_spot: !!l.pixels_can_move_to_filled_spot,
       moving_pixels_leave_empty_spot: !!l.moving_pixels_leave_empty_spot,
+      reset_mode: l.reset_mode,
+      reset_mask: l.reset_mask || null,
+      reset_random_factor: parseFloat(l.reset_random_factor),
+      reset_constant_step: parseFloat(l.reset_constant_step),
+      reset_linear_factor: parseFloat(l.reset_linear_factor),
+      reset_source: !!l.reset_source,
+      introduce_pixels_on_empty_spots: !!l.introduce_pixels_on_empty_spots,
+      introduce_pixels_on_filled_spots: !!l.introduce_pixels_on_filled_spots,
+      introduce_moving_pixels: !!l.introduce_moving_pixels,
+      introduce_unmoving_pixels: !!l.introduce_unmoving_pixels,
       introduce_once: !!l.introduce_once,
+      introduce_on_all_filled_spots: !!l.introduce_on_all_filled_spots,
+      introduce_on_all_empty_spots: !!l.introduce_on_all_empty_spots,
     })),
   };
   const seed = value("seed");
@@ -238,16 +309,31 @@ function applyConfig(config) {
   } else {
     set("direction", "forward");
   }
+  set("use_mvs", config.use_mvs);
+  if (config.cv_config && typeof config.cv_config === "object") {
+    set("method", config.cv_config.method);
+  } else {
+    set("cv_config_path", config.cv_config);
+  }
   set("seek_time", config.seek_time);
   set("duration_time", config.duration_time);
   set("repeat", config.repeat);
   set("flow_filters", config.flow_filters);
   set("mask_path", config.mask_path);
+  set("kernel_path", config.kernel_path);
+  set("lock_mode", config.lock_mode === 1 || config.lock_mode === "skip"
+      ? "skip" : (config.lock_expr ? "stay" : ""));
+  set("lock_expr", config.lock_expr);
   set("background", config.compositor_background);
   set("output_path", Array.isArray(config.output_path)
       ? config.output_path[0] : config.output_path);
   set("view_flow", config.view_flow);
   set("view_flow_magnitude", config.view_flow_magnitude);
+  set("vcodec", config.vcodec);
+  set("render_scale", config.render_scale);
+  set("render_colors", Array.isArray(config.render_colors)
+      ? config.render_colors.join(",") : config.render_colors);
+  set("render_binary", config.render_binary);
   set("seed", config.seed);
   set("batch_frames", config.batch_frames);
   set("mesh", config.mesh);
@@ -256,19 +342,34 @@ function applyConfig(config) {
     path: p.path ?? "noise",
     layers: (p.layers || [0]).join(","),
     introduction_path: p.introduction_path || "",
+    alteration_path: p.alteration_path || "",
     seek_time: p.seek_time || "",
     repeat: p.repeat ?? 1,
   }));
   if (!pixmaps.length) pixmaps = [newPixmap()];
   layers = (config.layers || []).slice(0, MAX_LAYERS).map(l => ({
-    index: l.index ?? 0,
+    ...newLayer(l.index ?? 0),
     classname: l.classname || "moveref",
-    reset_mode: l.reset_mode || "off",
-    reset_factor: l.reset_random_factor ?? l.reset_linear_factor
-        ?? l.reset_constant_step ?? 0.1,
+    mask_src: l.mask_src || "",
+    mask_dst: l.mask_dst || "",
     mask_alpha: l.mask_alpha || "",
+    transparent_pixels_can_move: !!l.transparent_pixels_can_move,
+    pixels_can_move_to_empty_spot: l.pixels_can_move_to_empty_spot ?? true,
+    pixels_can_move_to_filled_spot: l.pixels_can_move_to_filled_spot ?? true,
     moving_pixels_leave_empty_spot: !!l.moving_pixels_leave_empty_spot,
+    reset_mode: l.reset_mode || "off",
+    reset_mask: l.reset_mask || "",
+    reset_random_factor: l.reset_random_factor ?? 0.1,
+    reset_constant_step: l.reset_constant_step ?? 1,
+    reset_linear_factor: l.reset_linear_factor ?? 0.1,
+    reset_source: !!l.reset_source,
+    introduce_pixels_on_empty_spots: l.introduce_pixels_on_empty_spots ?? true,
+    introduce_pixels_on_filled_spots: l.introduce_pixels_on_filled_spots ?? true,
+    introduce_moving_pixels: l.introduce_moving_pixels ?? true,
+    introduce_unmoving_pixels: l.introduce_unmoving_pixels ?? true,
     introduce_once: !!l.introduce_once,
+    introduce_on_all_filled_spots: !!l.introduce_on_all_filled_spots,
+    introduce_on_all_empty_spots: !!l.introduce_on_all_empty_spots,
   }));
   if (!layers.length) layers = [newLayer(0)];
   renderPixmaps();
@@ -485,6 +586,8 @@ window.addEventListener("DOMContentLoaded", () => {
     requestFile("OPEN", "flow_path"));
   $("browse_output").addEventListener("click", () =>
     requestFile("SAVE", "output_path"));
+  $("browse_kernel").addEventListener("click", () =>
+    requestFile("OPEN", "kernel_path"));
   $("preview_flow").addEventListener("click", () =>
     showMedia($("flow_path").value));
   $("flow_path").addEventListener("change", () =>
