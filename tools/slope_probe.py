@@ -13,7 +13,8 @@ an intercept the elapsed-vs-frames regression removes. fps = 1/slope.
 Interpretation (see ``bench.slope_fit`` for the verdict rules):
 - ``device-throughput``: the regime's damage is readback-only; the slope
   fps IS the device throughput (cross-check: it must land in the
-  28k-101k fps healthy band, BASELINE.md).
+  physical ~2-10k fps band — docs/PERF.md round-4 accounting; the old
+  28k-101k "healthy band" was a barrier artifact).
 - ``poll-serialized``: dispatches themselves serialize on the poll
   cycle; nothing can be measured in this regime, and the tool says so
   instead of printing a number.
