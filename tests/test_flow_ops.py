@@ -264,3 +264,62 @@ class TestFarnebackFlags:
         # the warm start is honored only with the flag (cv2 semantics)
         assert not np.array_equal(warm, cold)
         assert abs(np.median(warm[16:-16, 16:-16, 0]) - 2) < 0.7
+
+
+class TestBilinearSample:
+    """The tap-packed gather must stay bit-identical to the naive four-gather
+    formulation it replaced (ops/image.py::prepack_bilinear_taps)."""
+
+    @staticmethod
+    def _naive(image, yy, xx):
+        h, w = image.shape[:2]
+        y0 = np.floor(yy)
+        x0 = np.floor(xx)
+        wy = yy - y0
+        wx = xx - x0
+        y0 = np.clip(y0.astype(np.int32), 0, h - 1)
+        x0 = np.clip(x0.astype(np.int32), 0, w - 1)
+        y1 = np.clip(y0 + 1, 0, h - 1)
+        x1 = np.clip(x0 + 1, 0, w - 1)
+        if image.ndim == 3:
+            wy = wy[..., None]
+            wx = wx[..., None]
+        wy = wy.astype(np.float32)
+        wx = wx.astype(np.float32)
+        v00 = image[y0, x0]
+        v01 = image[y0, x1]
+        v10 = image[y1, x0]
+        v11 = image[y1, x1]
+        top = v00 * (1 - wx) + v01 * wx
+        bot = v10 * (1 - wx) + v11 * wx
+        return top * (1 - wy) + bot * wy
+
+    def test_bit_exact_vs_naive(self):
+        from transflow_tpu.ops.image import bilinear_sample
+        rng = np.random.default_rng(0)
+        for shape in ((23, 31), (23, 31, 5), (1, 7), (9, 1, 3)):
+            h, w = shape[:2]
+            img = rng.standard_normal(shape).astype(np.float32)
+            # coords spanning in-range, sub-pixel, and deep out-of-range
+            yy = (rng.uniform(-2 * h, 3 * h, (h, w))).astype(np.float32)
+            xx = (rng.uniform(-2 * w, 3 * w, (h, w))).astype(np.float32)
+            got = np.asarray(bilinear_sample(
+                jnp.asarray(img), jnp.asarray(yy), jnp.asarray(xx)))
+            want = self._naive(img, yy, xx)
+            assert got.shape == want.shape, shape
+            np.testing.assert_array_equal(got, want, err_msg=str(shape))
+
+    def test_packed_matches_oneshot(self):
+        from transflow_tpu.ops.image import (bilinear_sample,
+                                             bilinear_sample_packed,
+                                             prepack_bilinear_taps)
+        rng = np.random.default_rng(1)
+        img = rng.standard_normal((17, 19, 5)).astype(np.float32)
+        yy = rng.uniform(-5, 22, (17, 19)).astype(np.float32)
+        xx = rng.uniform(-5, 24, (17, 19)).astype(np.float32)
+        packed = prepack_bilinear_taps(jnp.asarray(img))
+        a = np.asarray(bilinear_sample_packed(
+            packed, jnp.asarray(yy), jnp.asarray(xx)))
+        b = np.asarray(bilinear_sample(
+            jnp.asarray(img), jnp.asarray(yy), jnp.asarray(xx)))
+        np.testing.assert_array_equal(a, b)

@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.image import (bilinear_sample, box_filter, gaussian_blur,
-                          separable_correlate)
+from ...ops.image import (bilinear_sample_packed, box_filter, gaussian_blur,
+                          prepack_bilinear_taps, separable_correlate)
 
 OPTFLOW_USE_INITIAL_FLOW = 4  # cv2 flag value
 OPTFLOW_FARNEBACK_GAUSSIAN = 256  # cv2 flag value
@@ -73,8 +73,14 @@ def poly_expansion(image, n: int, sigma: float):
     return bx, by, axx, ayy, axy
 
 
-def _update_flow(poly1, poly2, flow, winsize: int, use_gaussian: bool):
-    """One Farneback displacement-update iteration at one pyramid level."""
+def _update_flow(poly1, poly2_pack, flow, winsize: int, use_gaussian: bool):
+    """One Farneback displacement-update iteration at one pyramid level.
+
+    ``poly2_pack``: prepack_bilinear_taps of the stacked (H, W, 5) image-2
+    coefficient planes — poly2 is loop-invariant across the ``iterations``
+    updates, so the tap pack is built once per level and each iteration
+    pays ONE 20-channel gather instead of four 5-channel ones (the
+    gather-wall arithmetic in ops/image.py::prepack_bilinear_taps)."""
     bx1, by1, axx1, ayy1, axy1 = poly1
     h, w = bx1.shape
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -83,9 +89,8 @@ def _update_flow(poly1, poly2, flow, winsize: int, use_gaussian: bool):
     dy = flow[..., 1]
     sx = xx + dx
     sy = yy + dy
-    # fold the 5 coefficient planes of image2 warped to x + d
-    p2 = jnp.stack(poly2, axis=-1)
-    p2w = bilinear_sample(p2, sy, sx)
+    # the 5 coefficient planes of image2 warped to x + d
+    p2w = bilinear_sample_packed(poly2_pack, sy, sx)
     bx2, by2, axx2, ayy2, axy2 = (p2w[..., k] for k in range(5))
     # in-bounds confidence: OpenCV ramps down matrices near borders /
     # out-of-range warps; we zero-weight fully out-of-frame samples
@@ -167,10 +172,12 @@ def farneback(prev_gray, next_gray, prev_flow=None, *, pyr_scale: float = 0.5,
             img1, img2 = prev, nxt
         poly1 = poly_expansion(img1, poly_n, poly_sigma)
         poly2 = poly_expansion(img2, poly_n, poly_sigma)
+        poly2_pack = prepack_bilinear_taps(jnp.stack(poly2, axis=-1))
         # fori_loop keeps the traced program small: the update body is
         # compiled once per level instead of ``iterations`` times
         flow = jax.lax.fori_loop(
             0, iterations,
-            lambda _, f: _update_flow(poly1, poly2, f, winsize, use_gaussian),
+            lambda _, f: _update_flow(poly1, poly2_pack, f, winsize,
+                                      use_gaussian),
             flow)
     return flow

@@ -12,8 +12,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ...ops.image import (bilinear_sample, box_filter, downsample2x,
-                          separable_correlate)
+from ...ops.image import (bilinear_sample_packed, box_filter, downsample2x,
+                          prepack_bilinear_taps, separable_correlate)
 
 import numpy as np
 
@@ -42,9 +42,13 @@ def _lk_level(prev, nxt, flow, win_size: int, iters: int, eps: float):
     inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    # nxt is loop-invariant across the ``iters`` updates: build the bilinear
+    # tap pack once, gather once per iteration (ops/image.py rationale)
+    nxt_pack = prepack_bilinear_taps(nxt)
 
     def body(_, flow):
-        warped = bilinear_sample(nxt, yy + flow[..., 1], xx + flow[..., 0])
+        warped = bilinear_sample_packed(
+            nxt_pack, yy + flow[..., 1], xx + flow[..., 0])[..., 0]
         it = warped - prev
         b1 = -box_filter(ix * it, win_size)
         b2 = -box_filter(iy * it, win_size)
