@@ -413,3 +413,36 @@ class TestRgbaPixmaps:
         engine2.load_state_arrays(arrays)
         for key, value in engine2.state_arrays().items():
             np.testing.assert_array_equal(value, arrays[key], err_msg=key)
+
+
+class TestBytepack:
+    """pack/unpack must round-trip every carry dtype bit-exactly, and a
+    gather of the pack must equal per-plane gathers (the packed-movement
+    reformulation's correctness contract)."""
+
+    def test_roundtrip_and_gathered_equality(self):
+        import jax.numpy as jnp
+        from transflow_tpu.ops.bytepack import pack_planes, unpack_planes
+        rng = np.random.default_rng(0)
+        h, w = 13, 17
+        planes = [
+            rng.integers(0, 2, (h, w)).astype(bool),
+            rng.integers(0, 256, (h, w), dtype=np.uint8),
+            rng.integers(-300, 300, (h, w)).astype(np.int16),
+            rng.integers(-2**30, 2**30, (h, w), dtype=np.int32),
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8),
+            rng.standard_normal((h, w, 2)).astype(np.float32),
+        ]
+        jplanes = [jnp.asarray(p) for p in planes]
+        packed, spec = pack_planes(jplanes)
+        assert packed.dtype == jnp.uint8
+        for got, want in zip(unpack_planes(packed, spec), planes):
+            assert str(got.dtype) == str(want.dtype)
+            np.testing.assert_array_equal(np.asarray(got), want)
+        # gathered pack == per-plane gather
+        si = jnp.asarray(rng.integers(0, h, (h, w)), jnp.int32)
+        sj = jnp.asarray(rng.integers(0, w, (h, w)), jnp.int32)
+        got = unpack_planes(packed[si, sj], spec)
+        for g, p in zip(got, jplanes):
+            np.testing.assert_array_equal(np.asarray(g),
+                                          np.asarray(p[si, sj]))

@@ -31,6 +31,7 @@ import numpy as np
 
 from ..config import LayerConfig
 from ..utils import load_bool_mask, load_float_mask, parse_color
+from ..ops.bytepack import pack_planes, unpack_planes
 from ..ops.halo_gather import bounded_row_gather
 from ..ops.scatter import scatter_any
 
@@ -172,19 +173,32 @@ def _movement(params: LayerParams, channels: dict, alpha, flow,
     ii, jj = _base_coords(h, w)
     src_i = jnp.clip(ii + di, 0, h - 1)
     src_j = jnp.clip(jj + dj, 0, w - 1)
-    if halo is not None:
-        def src_read(v):
-            return bounded_row_gather(v, src_i, src_j, halo)
-    else:
-        def src_read(v):
-            return v[src_i, src_j]
     filled = alpha != 0
+    # ONE gather for every plane the movement reads: the TPU gather wall
+    # pays per slice (ops/bytepack.py), so the masks, alpha and all state
+    # channels are byte-packed and fetched together — one ~7-B-slice
+    # gather (moveref) instead of five 1-4 B ones; the halo'd bounded
+    # gather packs the same way, shrinking its per-shift W-gathers too.
     if cfg.transparent_pixels_can_move:
-        src_ok = src_read(params.mask_src)
-        src_filled = src_read(filled)
+        mask_planes = [params.mask_src, filled]
     else:
-        src_ok = src_read(params.mask_src & filled)
-        src_filled = None
+        mask_planes = [params.mask_src & filled]
+    names = list(channels)
+    packed, spec = pack_planes(
+        mask_planes + [alpha] + [channels[k] for k in names])
+    if halo is not None:
+        g = bounded_row_gather(packed, src_i, src_j, halo)
+    else:
+        g = packed[src_i, src_j]
+    got = unpack_planes(g, spec)
+    if cfg.transparent_pixels_can_move:
+        src_ok, src_filled = got[0], got[1]
+        rest = got[2:]
+    else:
+        src_ok, src_filled = got[0], None
+        rest = got[1:]
+    g_alpha = rest[0]
+    g_channels = dict(zip(names, rest[1:]))
     dst_ok = params.mask_dst
     if not cfg.pixels_can_move_to_empty_spot:
         dst_ok = dst_ok & filled
@@ -197,8 +211,8 @@ def _movement(params: LayerParams, channels: dict, alpha, flow,
             mask = mask[..., None]
         return jnp.where(mask, a, b)
 
-    out = {k: sel(is_target, src_read(v), v) for k, v in channels.items()}
-    new_alpha = jnp.where(is_target, src_read(alpha), alpha)
+    out = {k: sel(is_target, g_channels[k], v) for k, v in channels.items()}
+    new_alpha = jnp.where(is_target, g_alpha, alpha)
     if cfg.moving_pixels_leave_empty_spot:
         if halo is not None:
             # Vacate the row the value gather actually read: the bounded
@@ -289,11 +303,21 @@ def _reference_rgba(params: LayerParams, state: dict, pixmaps) -> dict:
     a = rgba[..., 3]
     mi = jnp.clip(state["pos_i"], 0, h - 1)
     mj = jnp.clip(state["pos_j"], 0, w - 1)
+    # all sources share the mapping indices, so their pixmaps concatenate
+    # into ONE wider-slice gather (ops/bytepack.py rationale)
+    if params.num_sources > 1:
+        packed = jnp.concatenate(
+            [pixmaps[s] for s in range(params.num_sources)], axis=-1)
+        gathered_all = packed[mi, mj]
+    offset = 0
     for s in range(params.num_sources):
-        pixmap = pixmaps[s]
         channels = params.channel_counts[s]
         sel = (state["source"] == s) & (state["alpha"] != 0)
-        gathered = pixmap[mi, mj]
+        if params.num_sources > 1:
+            gathered = gathered_all[..., offset:offset + channels]
+            offset += channels
+        else:
+            gathered = pixmaps[s][mi, mj]
         rgb = jnp.where(sel[..., None], gathered[..., :3], rgb)
         if channels == 4:
             a = jnp.where(sel, gathered[..., 3], a)
@@ -386,10 +410,20 @@ def update_introduction(params: LayerParams, state: dict, flow, pixmaps,
     ii, jj = _base_coords(h, w)
     gi = src_i if consider_flow else ii
     gj = src_j if consider_flow else jj
+    # one gather across sources (same indices — see _reference_rgba)
+    if params.num_sources > 1:
+        packed = jnp.concatenate(
+            [pixmaps[s] for s in range(params.num_sources)], axis=-1)
+        gathered_all = packed[gi, gj]
+    offset = 0
     for s in range(params.num_sources):
         tgt = mask & params.intro_masks[s]
-        pixmap = pixmaps[s]
-        gathered = pixmap[gi, gj]
+        if params.num_sources > 1:
+            gathered = gathered_all[..., offset:offset
+                                    + params.channel_counts[s]]
+            offset += params.channel_counts[s]
+        else:
+            gathered = pixmaps[s][gi, gj]
         new_rgb = gathered[..., :3]
         if params.channel_counts[s] == 4:
             new_a = gathered[..., 3].astype(ALPHA_DTYPE)
