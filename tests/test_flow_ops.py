@@ -323,3 +323,24 @@ class TestBilinearSample:
         b = np.asarray(bilinear_sample(
             jnp.asarray(img), jnp.asarray(yy), jnp.asarray(xx)))
         np.testing.assert_array_equal(a, b)
+
+
+def test_farneback_bf16_taps_parity(monkeypatch):
+    """The accelerator-default bf16 warp taps must stay >= 40 dB vs cv2
+    (CPU runs f32 by default; this emulates the TPU tap dtype)."""
+    import importlib
+    import cv2
+    import jax.numpy as jnp2
+    # the estimators package rebinds the submodule name to the function;
+    # go through importlib for the module object
+    fb = importlib.import_module("transflow_tpu.flow.estimators.farneback")
+    monkeypatch.setattr(fb, "_tap_dtype", lambda: jnp2.bfloat16)
+    a, b = shifted_pair(120, 160, dx=3, dy=2)
+    # iterations=4 on BOTH sides: a non-default static arg, so the jit
+    # cache keyed on any earlier f32 trace cannot be reused here
+    ref = cv2.calcOpticalFlowFarneback(a, b, None, 0.5, 3, 15, 4, 5, 1.2, 0)
+    ours = np.asarray(fb.farneback(jnp.asarray(a), jnp.asarray(b),
+                                   iterations=4))
+    mse = float(np.mean((ours - ref) ** 2))
+    psnr = 10 * np.log10(8.0 ** 2 / mse)
+    assert psnr >= 40.0, psnr

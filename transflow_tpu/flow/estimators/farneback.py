@@ -17,6 +17,7 @@ SCIA 2003):
 Everything is static-shaped XLA; the pyramid loop unrolls at trace time.
 """
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +28,24 @@ from ...ops.image import (bilinear_sample_packed, box_filter, gaussian_blur,
 
 OPTFLOW_USE_INITIAL_FLOW = 4  # cv2 flag value
 OPTFLOW_FARNEBACK_GAUSSIAN = 256  # cv2 flag value
+
+
+def _tap_dtype():
+    """Warp-tap dtype: bf16 on accelerators, f32 on CPU.
+
+    The per-iteration warp of image-2's five coefficient planes is the
+    estimator's dominant HBM term — ~166 MB/frame of gathered tap bytes at
+    1080p through the byte-throughput-bound TPU gather wall (~10-20 GB/s,
+    ops/image.py) — so halving tap bytes roughly halves the warp cost.
+    Only the gathered TAPS are bf16: lerp weights, aggregation and the 2x2
+    solve stay f32 (bf16 * f32 promotes). Measured numerics cost (CPU
+    bf16 emulation, 240x320 shifted-noise pair, default params): 46.63 dB
+    vs cv2 against 46.65 dB for f32 taps, 69 dB between the two paths.
+    TRANSFLOW_FARNEBACK_BF16=0 forces exact f32 taps; read at trace time
+    (same caveat as liteflownet._compute_dtype)."""
+    if os.environ.get("TRANSFLOW_FARNEBACK_BF16", "1") == "0":
+        return jnp.float32
+    return jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
 
 
 @functools.lru_cache(maxsize=None)
@@ -172,7 +191,8 @@ def farneback(prev_gray, next_gray, prev_flow=None, *, pyr_scale: float = 0.5,
             img1, img2 = prev, nxt
         poly1 = poly_expansion(img1, poly_n, poly_sigma)
         poly2 = poly_expansion(img2, poly_n, poly_sigma)
-        poly2_pack = prepack_bilinear_taps(jnp.stack(poly2, axis=-1))
+        poly2_pack = prepack_bilinear_taps(
+            jnp.stack(poly2, axis=-1).astype(_tap_dtype()))
         # fori_loop keeps the traced program small: the update body is
         # compiled once per level instead of ``iterations`` times
         flow = jax.lax.fori_loop(
