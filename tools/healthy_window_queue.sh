@@ -72,6 +72,8 @@ while true; do
         echo "$(date +%H:%M:%S) mosaic done rc=$?" >> "$LOG"
         timeout 1800 python "$REPO/tools/mxu_warp_bench.py" > "$OUT/warp_ab.txt" 2>&1
         echo "$(date +%H:%M:%S) warp A/B done rc=$?" >> "$LOG"
+        timeout 1800 python "$REPO/tools/gather_wall_probe.py" > "$OUT/gather_wall.json" 2> "$OUT/gather_wall.err"
+        echo "$(date +%H:%M:%S) gather-wall probe done rc=$?" >> "$LOG"
         timeout 3000 python "$REPO/tools/lfn_profile.py" 12 > "$OUT/lfn_profile.json" 2> "$OUT/lfn_profile.err"
         echo "$(date +%H:%M:%S) profile done rc=$?" >> "$LOG"
         touch "$QUEUE_DONE"
