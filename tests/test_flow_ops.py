@@ -325,16 +325,17 @@ class TestBilinearSample:
         np.testing.assert_array_equal(a, b)
 
 
-def test_farneback_bf16_taps_parity(monkeypatch):
-    """The accelerator-default bf16 warp taps must stay >= 40 dB vs cv2
-    (CPU runs f32 by default; this emulates the TPU tap dtype)."""
+def test_farneback_bf16_storage_parity(monkeypatch):
+    """The accelerator-default bf16 plane storage must stay >= 40 dB vs
+    cv2 (CPU runs f32 by default; this forces the TPU storage dtype
+    through the real code path)."""
     import importlib
     import cv2
     import jax.numpy as jnp2
     # the estimators package rebinds the submodule name to the function;
     # go through importlib for the module object
     fb = importlib.import_module("transflow_tpu.flow.estimators.farneback")
-    monkeypatch.setattr(fb, "_tap_dtype", lambda: jnp2.bfloat16)
+    monkeypatch.setattr(fb, "_storage_dtype", lambda: jnp2.bfloat16)
     a, b = shifted_pair(120, 160, dx=3, dy=2)
     # iterations=4 on BOTH sides: a non-default static arg, so the jit
     # cache keyed on any earlier f32 trace cannot be reused here

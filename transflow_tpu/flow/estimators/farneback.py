@@ -30,19 +30,22 @@ OPTFLOW_USE_INITIAL_FLOW = 4  # cv2 flag value
 OPTFLOW_FARNEBACK_GAUSSIAN = 256  # cv2 flag value
 
 
-def _tap_dtype():
-    """Warp-tap dtype: bf16 on accelerators, f32 on CPU.
+def _storage_dtype():
+    """Materialized-plane dtype: bf16 on accelerators, f32 on CPU.
 
-    The per-iteration warp of image-2's five coefficient planes is the
-    estimator's dominant HBM term — ~166 MB/frame of gathered tap bytes at
-    1080p through the byte-throughput-bound TPU gather wall (~10-20 GB/s,
-    ops/image.py) — so halving tap bytes roughly halves the warp cost.
-    Only the gathered TAPS are bf16: lerp weights, aggregation and the 2x2
-    solve stay f32 (bf16 * f32 promotes). Measured numerics cost (CPU
-    bf16 emulation, 240x320 shifted-noise pair, default params): 46.63 dB
-    vs cv2 against 46.65 dB for f32 taps, 69 dB between the two paths.
-    TRANSFLOW_FARNEBACK_BF16=0 forces exact f32 taps; read at trace time
-    (same caveat as liteflownet._compute_dtype)."""
+    The estimator's HBM traffic is dominated by its materialized planes —
+    pyramid images, the polynomial coefficient planes, the warp tap pack
+    and the box-filter operands (~1.6 GB/frame at 1080p defaults in f32,
+    ~20x the scan carry; docs/PERF.md) — so storing them in bf16 halves
+    the bound. Precision-critical arithmetic is unaffected: convolutions
+    accumulate f32 over bf16 operands (MXU-native; ops/image.py), the
+    lerp weights, displacement algebra and the 2x2 solve stay f32, and
+    the flow itself is always f32. Measured numerics cost (CPU bf16
+    emulation, 240x320 shifted-noise pair, default params): 46.7 dB vs
+    cv2 against 46.65 dB for the all-f32 path — noise-level
+    (tests/test_flow_ops.py pins >= 40 dB on the real code path).
+    TRANSFLOW_FARNEBACK_BF16=0 forces all-f32; read at trace time (same
+    caveat as liteflownet._compute_dtype)."""
     if os.environ.get("TRANSFLOW_FARNEBACK_BF16", "1") == "0":
         return jnp.float32
     return jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
@@ -67,15 +70,18 @@ def _poly_exp_consts(n: int, sigma: float):
             (g * x * x).astype(np.float32), ginv.astype(np.float32))
 
 
-def poly_expansion(image, n: int, sigma: float):
-    """Per-pixel quadratic fit. Returns (bx, by, axx, ayy, axy) planes."""
+def poly_expansion(image, n: int, sigma: float, storage=jnp.float32):
+    """Per-pixel quadratic fit. Returns (bx, by, axx, ayy, axy) planes.
+
+    ``storage``: dtype of the intermediate and returned planes (see
+    _storage_dtype); convolutions and the Gram solve accumulate f32."""
     g, xg, xxg, ginv_np = _poly_exp_consts(n, sigma)
     ginv = jnp.asarray(ginv_np)
-    f = image.astype(jnp.float32)
+    f = image.astype(storage)
     # vertical passes (axis 0 = y), then horizontal (axis 1 = x)
-    fy0 = separable_correlate(f, g, axis=0)
-    fy1 = separable_correlate(f, xg, axis=0)
-    fy2 = separable_correlate(f, xxg, axis=0)
+    fy0 = separable_correlate(f, g, axis=0).astype(storage)
+    fy1 = separable_correlate(f, xg, axis=0).astype(storage)
+    fy2 = separable_correlate(f, xxg, axis=0).astype(storage)
     m00 = separable_correlate(fy0, g, axis=1)
     m10 = separable_correlate(fy0, xg, axis=1)   # sum w * x * f
     m01 = separable_correlate(fy1, g, axis=1)    # sum w * y * f
@@ -83,23 +89,26 @@ def poly_expansion(image, n: int, sigma: float):
     m02 = separable_correlate(fy2, g, axis=1)    # sum w * y^2 * f
     m11 = separable_correlate(fy1, xg, axis=1)   # sum w * x*y * f
     moments = jnp.stack([m00, m10, m01, m20, m02, m11], axis=-1)
-    coeffs = moments @ ginv.T  # (H, W, 6): [c, bx, by, axx, ayy, axy]
+    coeffs = (moments @ ginv.T).astype(storage)  # [c, bx, by, axx, ayy, axy]
     bx = coeffs[..., 1]
     by = coeffs[..., 2]
     axx = coeffs[..., 3]
     ayy = coeffs[..., 4]
-    axy = coeffs[..., 5] * 0.5
+    axy = coeffs[..., 5] * jnp.asarray(0.5, storage)
     return bx, by, axx, ayy, axy
 
 
-def _update_flow(poly1, poly2_pack, flow, winsize: int, use_gaussian: bool):
+def _update_flow(poly1, poly2_pack, flow, winsize: int, use_gaussian: bool,
+                 storage=jnp.float32):
     """One Farneback displacement-update iteration at one pyramid level.
 
     ``poly2_pack``: prepack_bilinear_taps of the stacked (H, W, 5) image-2
     coefficient planes — poly2 is loop-invariant across the ``iterations``
     updates, so the tap pack is built once per level and each iteration
     pays ONE 20-channel gather instead of four 5-channel ones (the
-    gather-wall arithmetic in ops/image.py::prepack_bilinear_taps)."""
+    gather-wall arithmetic in ops/image.py::prepack_bilinear_taps).
+    ``storage``: dtype of the box-filter operands (_storage_dtype); the
+    displacement algebra, aggregation sums and the 2x2 solve stay f32."""
     bx1, by1, axx1, ayy1, axy1 = poly1
     h, w = bx1.shape
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -127,7 +136,7 @@ def _update_flow(poly1, poly2_pack, flow, winsize: int, use_gaussian: bool):
     h1 = a11 * db_x + a12 * db_y
     h2 = a12 * db_x + a22 * db_y
     planes = jnp.stack([g11 * inb, g12 * inb, g22 * inb,
-                        h1 * inb, h2 * inb, inb], axis=0)
+                        h1 * inb, h2 * inb, inb], axis=0).astype(storage)
     if use_gaussian:
         sigma = winsize * 0.3
         agg = jax.vmap(lambda p: gaussian_blur(p, sigma, winsize // 2))(planes)
@@ -154,8 +163,11 @@ def farneback(prev_gray, next_gray, prev_flow=None, *, pyr_scale: float = 0.5,
     Arguments mirror cv2.calcOpticalFlowFarneback; ``prev_flow`` is honored
     only with OPTFLOW_USE_INITIAL_FLOW, like OpenCV."""
     h, w = prev_gray.shape
-    prev = prev_gray.astype(jnp.float32)
-    nxt = next_gray.astype(jnp.float32)
+    sdt = _storage_dtype()
+    # uint8 -> bf16 is exact (integers <= 256); pyramid blurs/resizes and
+    # the polynomial fit accumulate f32 over the bf16 storage
+    prev = prev_gray.astype(sdt)
+    nxt = next_gray.astype(sdt)
     use_gaussian = bool(flags & OPTFLOW_FARNEBACK_GAUSSIAN)
 
     # level sizes, coarsest last; drop levels that get degenerate
@@ -189,15 +201,14 @@ def farneback(prev_gray, next_gray, prev_flow=None, *, pyr_scale: float = 0.5,
                                     "linear")
         else:
             img1, img2 = prev, nxt
-        poly1 = poly_expansion(img1, poly_n, poly_sigma)
-        poly2 = poly_expansion(img2, poly_n, poly_sigma)
-        poly2_pack = prepack_bilinear_taps(
-            jnp.stack(poly2, axis=-1).astype(_tap_dtype()))
+        poly1 = poly_expansion(img1, poly_n, poly_sigma, storage=sdt)
+        poly2 = poly_expansion(img2, poly_n, poly_sigma, storage=sdt)
+        poly2_pack = prepack_bilinear_taps(jnp.stack(poly2, axis=-1))
         # fori_loop keeps the traced program small: the update body is
         # compiled once per level instead of ``iterations`` times
         flow = jax.lax.fori_loop(
             0, iterations,
             lambda _, f: _update_flow(poly1, poly2_pack, f, winsize,
-                                      use_gaussian),
+                                      use_gaussian, storage=sdt),
             flow)
     return flow

@@ -71,9 +71,14 @@ def correlate2d_reflect(image, kernel) -> jax.Array:
 
 def separable_correlate(image, kernel_1d, axis: int,
                         mode: str = "symmetric") -> jax.Array:
-    """1-D cross-correlation along ``axis`` of a 2-D image with edge padding."""
-    image = image.astype(jnp.float32)
-    k = jnp.asarray(kernel_1d, dtype=jnp.float32)
+    """1-D cross-correlation along ``axis`` of a 2-D image with edge padding.
+
+    bf16 inputs stay bf16 through the convolution (MXU-native, half the
+    operand HBM traffic) with f32 accumulation; every other dtype computes
+    in f32 as before. Output is always f32."""
+    dt = jnp.bfloat16 if image.dtype == jnp.bfloat16 else jnp.float32
+    image = image.astype(dt)
+    k = jnp.asarray(kernel_1d, dtype=dt)
     n = k.shape[0]
     pad_lo = (n - 1) // 2
     pad_hi = n - 1 - pad_lo
@@ -89,9 +94,14 @@ def separable_correlate(image, kernel_1d, axis: int,
 
 
 def box_filter(image, size: int) -> jax.Array:
-    """Separable (size x size) box sum with zero padding (not normalized)."""
+    """Separable (size x size) box sum with zero padding (not normalized).
+
+    bf16 inputs keep bf16 storage between the two passes (each pass
+    accumulates f32 — separable_correlate); output is f32."""
     ones = jnp.ones((size,), dtype=jnp.float32)
     tmp = separable_correlate(image, ones, axis=0, mode="constant")
+    if image.dtype == jnp.bfloat16:
+        tmp = tmp.astype(jnp.bfloat16)
     return separable_correlate(tmp, ones, axis=1, mode="constant")
 
 
