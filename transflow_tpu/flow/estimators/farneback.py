@@ -82,12 +82,12 @@ def poly_expansion(image, n: int, sigma: float, storage=jnp.float32):
     fy0 = separable_correlate(f, g, axis=0).astype(storage)
     fy1 = separable_correlate(f, xg, axis=0).astype(storage)
     fy2 = separable_correlate(f, xxg, axis=0).astype(storage)
-    m00 = separable_correlate(fy0, g, axis=1)
-    m10 = separable_correlate(fy0, xg, axis=1)   # sum w * x * f
-    m01 = separable_correlate(fy1, g, axis=1)    # sum w * y * f
-    m20 = separable_correlate(fy0, xxg, axis=1)  # sum w * x^2 * f
-    m02 = separable_correlate(fy2, g, axis=1)    # sum w * y^2 * f
-    m11 = separable_correlate(fy1, xg, axis=1)   # sum w * x*y * f
+    m00 = separable_correlate(fy0, g, axis=1).astype(storage)
+    m10 = separable_correlate(fy0, xg, axis=1).astype(storage)   # w*x*f
+    m01 = separable_correlate(fy1, g, axis=1).astype(storage)    # w*y*f
+    m20 = separable_correlate(fy0, xxg, axis=1).astype(storage)  # w*x^2*f
+    m02 = separable_correlate(fy2, g, axis=1).astype(storage)    # w*y^2*f
+    m11 = separable_correlate(fy1, xg, axis=1).astype(storage)   # w*x*y*f
     moments = jnp.stack([m00, m10, m01, m20, m02, m11], axis=-1)
     coeffs = (moments @ ginv.T).astype(storage)  # [c, bx, by, axx, ayy, axy]
     bx = coeffs[..., 1]
