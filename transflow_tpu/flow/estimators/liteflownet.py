@@ -230,10 +230,18 @@ def _upsample2x_phases(x, kernel):
     shift-multiply-accumulates on the half-res plane plus one interleave —
     pure VPU work XLA fuses fully, instead of a feature_group_count=C
     dilated conv whose 1-channel groups defeat MXU tiling. Bit-identical
-    math up to f32 summation order (tested against the deconv)."""
+    math up to f32 summation order (tested against the deconv).
+
+    Dtype-preserving: accumulation is always f32 (the f32 kernel promotes
+    each product), but reads and the output keep x's dtype — so the bf16
+    correlation upsample at levels 2-3 moves half the bytes (the level-2
+    output alone is ~102 MB/frame in f32) while the f32 flow upsample
+    stays exact. CPU parity tests run f32 end to end, unaffected."""
     c = x.shape[-1]
     h, w = x.shape[0], x.shape[1]
-    x = x.astype(jnp.float32)
+    out_dtype = (x.dtype if x.dtype in (jnp.bfloat16, jnp.float32)
+                 else jnp.float32)
+    x = x.astype(out_dtype)
     rhs = kernel[::-1, ::-1, :].astype(jnp.float32)  # flip: conv == convT
     xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
     rows = []
@@ -249,7 +257,7 @@ def _upsample2x_phases(x, kernel):
             cols.append(acc)
         rows.append(jnp.stack(cols, axis=2))       # (h, w, 2s, c)
     out = jnp.stack(rows, axis=1)                  # (h, 2r, w, 2s, c)
-    return out.reshape(2 * h, 2 * w, c)
+    return out.reshape(2 * h, 2 * w, c).astype(out_dtype)
 
 
 def _unfold(plane, size: int):
