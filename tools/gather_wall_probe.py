@@ -100,6 +100,29 @@ def main():
         out = scatter_any((h, w), (si * w + sj).ravel(), mask.ravel())
         return jnp.sum(out.astype(jnp.float32)) * 1e-12 + s * 0.5
 
+    def movement_select_k4(s):
+        # gather-free bounded movement read: (2K+1)^2 shifted selects of
+        # the byte pack (pure VPU + HBM streams, no gather at all). Exact
+        # for |displacement| <= K — the deployment clip=4 config. Candidate
+        # replacement for the packed gather IF healthy gathers turn out
+        # per-slice-expensive; this case exists to decide that.
+        k = 4
+        si, sj = perturb_idx(s)
+        di = jnp.clip(si - jax.lax.broadcasted_iota(jnp.int32, (h, w), 0),
+                      -k, k)
+        dj = jnp.clip(sj - jax.lax.broadcasted_iota(jnp.int32, (h, w), 1),
+                      -k, k)
+        pad = jnp.pad(packed, ((k, k), (k, k), (0, 0)), mode="edge")
+        out = jnp.zeros_like(packed)
+        for dy in range(-k, k + 1):
+            for dx in range(-k, k + 1):
+                view = jax.lax.slice(
+                    pad, (k + dy, k + dx, 0),
+                    (k + dy + h, k + dx + w, packed.shape[-1]))
+                sel = ((di == dy) & (dj == dx))[..., None]
+                out = jnp.where(sel, view, out)
+        return jnp.sum(out.astype(jnp.float32)) * 1e-12 + s * 0.5
+
     def fb_warp(dtype):
         from transflow_tpu.ops.image import (bilinear_sample_packed,
                                              prepack_bilinear_taps)
@@ -119,6 +142,7 @@ def main():
         ("movement_packed", movement_packed, packed.shape[-1]),
         ("movement_split", movement_split, packed.shape[-1]),
         ("pixmap_regather", pixmap_regather, 4),
+        ("movement_select_k4", movement_select_k4, None),
         ("scatter_any", scatter_op, None),
         ("fb_warp_bf16", fb_warp(jnp.bfloat16), 5 * 4 * 2),
         ("fb_warp_f32", fb_warp(jnp.float32), 5 * 4 * 4),
