@@ -220,3 +220,64 @@ class TestHaloFlagMatrix:
             state, rgb = step.render(state, params)
             outs.append(np.asarray(rgb))
         np.testing.assert_array_equal(outs[0], outs[1])
+
+
+class TestShardedBoundedGather:
+    """The manual-SPMD single-local-gather entry must be bit-identical to
+    bounded_row_gather (and to the plain gather within the halo) on the
+    forced multi-device CPU mesh."""
+
+    def _mesh(self):
+        from transflow_tpu.parallel.mesh import make_space_mesh
+        n = min(4, len(jax.devices()))
+        if n < 2:
+            pytest.skip("needs a multi-device mesh")
+        return make_space_mesh(n), n
+
+    def test_bit_exact_vs_row_gather(self):
+        from transflow_tpu.ops.halo_gather import sharded_bounded_gather
+        mesh, n = self._mesh()
+        rng = np.random.default_rng(1)
+        h, w, halo = 8 * n, 32, 3
+        ii, jj = np.indices((h, w))
+        src_i = np.clip(ii + rng.integers(-halo, halo + 1, (h, w)),
+                        0, h - 1).astype(np.int32)
+        src_j = np.clip(jj + rng.integers(-7, 8, (h, w)),
+                        0, w - 1).astype(np.int32)
+        for shape in ((h, w), (h, w, 6)):
+            v = rng.integers(0, 256, shape).astype(np.uint8)
+            want = np.asarray(bounded_row_gather(
+                jnp.asarray(v), jnp.asarray(src_i), jnp.asarray(src_j),
+                halo))
+            with mesh:
+                got = np.asarray(sharded_bounded_gather(
+                    jnp.asarray(v), jnp.asarray(src_i), jnp.asarray(src_j),
+                    halo, mesh))
+            np.testing.assert_array_equal(got, want, err_msg=str(shape))
+            # within the halo the plain gather agrees too
+            np.testing.assert_array_equal(got, plain(v, src_i, src_j))
+
+    def test_model_step_matches_meshless(self):
+        import sys
+        sys.path.insert(0, ".")
+        from __graft_entry__ import _make_model
+        mesh, n = self._mesh()
+        h, w = 8 * n, 64
+        rng = np.random.default_rng(2)
+        gray0 = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        grays = jnp.asarray(rng.integers(0, 256, (3, h, w), dtype=np.uint8))
+        outs = []
+        for m in (None, mesh):
+            model = _make_model(h, w, mesh=m)
+            state = model.init_state(gray0)
+            if m is not None:
+                with mesh:
+                    state, rgbs = model.scan(
+                        state, grays, model.default_pixmaps(),
+                        jnp.float32(0.0), jax.random.key(0))
+            else:
+                state, rgbs = model.scan(
+                    state, grays, model.default_pixmaps(),
+                    jnp.float32(0.0), jax.random.key(0))
+            outs.append(np.asarray(rgbs))
+        np.testing.assert_array_equal(outs[0], outs[1])

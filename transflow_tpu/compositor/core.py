@@ -32,7 +32,7 @@ import numpy as np
 from ..config import LayerConfig
 from ..utils import load_bool_mask, load_float_mask, parse_color
 from ..ops.bytepack import pack_planes, unpack_planes
-from ..ops.halo_gather import bounded_row_gather
+from ..ops.halo_gather import bounded_row_gather, sharded_bounded_gather
 from ..ops.scatter import scatter_any
 
 # Compact carry dtypes (round 4): the layer state round-trips HBM every
@@ -152,7 +152,7 @@ def init_layer_state(params: LayerParams) -> dict:
 # --------------------------------------------------------------------------
 
 def _movement(params: LayerParams, channels: dict, alpha, flow,
-              halo: int | None = None):
+              halo: int | None = None, mesh=None):
     """Apply the flow permutation to ``channels`` + ``alpha``.
 
     Parity: transflow/compositor/layers/movement.py:20-64, re-expressed as a
@@ -187,7 +187,14 @@ def _movement(params: LayerParams, channels: dict, alpha, flow,
     packed, spec = pack_planes(
         mask_planes + [alpha] + [channels[k] for k in names])
     if halo is not None:
-        g = bounded_row_gather(packed, src_i, src_j, halo)
+        # explicit mesh with a splitting 'space' axis: manual-SPMD single
+        # local gather; else the GSPMD-composable shift formulation
+        if (mesh is not None and "space" in mesh.shape
+                and mesh.shape["space"] > 1
+                and h % mesh.shape["space"] == 0):
+            g = sharded_bounded_gather(packed, src_i, src_j, halo, mesh)
+        else:
+            g = bounded_row_gather(packed, src_i, src_j, halo)
     else:
         g = packed[src_i, src_j]
     got = unpack_planes(g, spec)
@@ -333,19 +340,19 @@ def _reference_rgba(params: LayerParams, state: dict, pixmaps) -> dict:
 # --------------------------------------------------------------------------
 
 def update_moveref(params: LayerParams, state: dict, flow, pixmaps,
-                   key, halo: int | None = None) -> dict:
+                   key, halo: int | None = None, mesh=None) -> dict:
     """MoveReferenceLayer.update (move_reference.py:12-14)."""
     channels = {"pos_i": state["pos_i"], "pos_j": state["pos_j"],
                 "source": state["source"]}
     channels, alpha, _ = _movement(params, channels, state["alpha"], flow,
-                                   halo)
+                                   halo, mesh)
     state = dict(state, **channels, alpha=alpha)
     state = _reset(params, state, key)
     return _reference_rgba(params, state, pixmaps)
 
 
 def update_sum(params: LayerParams, state: dict, flow, pixmaps, key,
-               halo: int | None = None) -> dict:
+               halo: int | None = None, mesh=None) -> dict:
     """SumLayer.update: additive displacement, then reset + regather.
 
     Parity: sum.py:9-14 with the component transposition fixed (dy -> i)."""
@@ -360,7 +367,7 @@ def update_sum(params: LayerParams, state: dict, flow, pixmaps, key,
 
 
 def update_static(params: LayerParams, state: dict, flow, pixmaps,
-                  key, halo: int | None = None) -> dict:
+                  key, halo: int | None = None, mesh=None) -> dict:
     """StaticLayer.update (static.py:14-17): masked blit, flow ignored."""
     rgba = state["rgba"]
     rgb = rgba[..., :3]
@@ -375,7 +382,8 @@ def update_static(params: LayerParams, state: dict, flow, pixmaps,
 
 
 def update_introduction(params: LayerParams, state: dict, flow, pixmaps,
-                        key, frame_numbers, halo: int | None = None) -> dict:
+                        key, frame_numbers, halo: int | None = None,
+                        mesh=None) -> dict:
     """IntroductionLayer.update (introduction.py:16-67): move pixels carrying
     their RGB, then introduce new pixels from each source."""
     cfg = params.cfg
@@ -383,7 +391,7 @@ def update_introduction(params: LayerParams, state: dict, flow, pixmaps,
                 "pos_i": state["pos_i"], "pos_j": state["pos_j"],
                 "frame": state["frame"]}
     channels, alpha, (moving, src_i, src_j) = _movement(
-        params, channels, state["alpha"], flow, halo)
+        params, channels, state["alpha"], flow, halo, mesh)
     state = dict(state, **channels, alpha=alpha)
 
     # Introduction eligibility (intended semantics; see module docstring).
@@ -481,7 +489,7 @@ _UPDATE_FNS = {
 
 def build_compositor(layer_params: Sequence[LayerParams], height: int,
                      width: int, background_color: str = "#ffffff",
-                     halo: int | None = None):
+                     halo: int | None = None, mesh=None):
     """Build the pure compositor functions.
 
     Returns (init_fn, step_fn) where
@@ -516,11 +524,11 @@ def build_compositor(layer_params: Sequence[LayerParams], height: int,
             if classname == "introduction":
                 st = update_introduction(
                     params, state[idx], flow, pixmaps[idx], keys[idx],
-                    frame_numbers[idx], halo)
+                    frame_numbers[idx], halo, mesh)
             else:
                 st = _UPDATE_FNS[classname](
                     params, state[idx], flow, pixmaps[idx], keys[idx],
-                    halo)
+                    halo, mesh)
             new_state.append(st)
         return new_state
 

@@ -246,7 +246,7 @@ class Engine:
         self.layer_params = layer_params
         init_fn, comp_step = build_compositor(
             layer_params, out_height, out_width, cfg.compositor_background,
-            halo=halo)
+            halo=halo, mesh=mesh)
         self.comp_state = init_fn()
         if mesh is not None:
             self.comp_state = jax.tree.map(put_state, self.comp_state)

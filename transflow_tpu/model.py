@@ -40,7 +40,8 @@ class FlowTransferModel:
                  width_factor: int = 1,
                  height_factor: int = 1,
                  framerate: float = 30.0,
-                 halo: int | None = None):
+                 halo: int | None = None,
+                 mesh=None):
         self.height = height
         self.width = width
         self.out_height = height * height_factor
@@ -55,11 +56,15 @@ class FlowTransferModel:
             layer_cfgs, self.out_height, self.out_width, sources_by_layer)
         # halo: bounded-displacement movement gather for H-sharded meshes —
         # neighbor-row exchanges instead of per-frame full-state all-gathers
-        # (parallel/mesh.py has the measurements); None = plain gather
+        # (parallel/mesh.py has the measurements); None = plain gather.
+        # mesh: with an explicit mesh whose 'space' axis splits H, the halo
+        # gather runs as manual SPMD (one local gather + two neighbor-row
+        # ppermutes, ops/halo_gather.py::sharded_bounded_gather) instead of
+        # the 2*halo+1-shift GSPMD formulation
         self.halo = halo
         init_fn, comp_step = build_compositor(
             self.layer_params, self.out_height, self.out_width,
-            background_color, halo=halo)
+            background_color, halo=halo, mesh=mesh)
         self._comp_init = init_fn
         self._comp_step = comp_step
         estimator = get_estimator(method)

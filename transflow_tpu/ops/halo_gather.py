@@ -25,7 +25,7 @@ scan and GSPMD sharding constraints unchanged.
 import jax
 import jax.numpy as jnp
 
-__all__ = ["bounded_row_gather"]
+__all__ = ["bounded_row_gather", "sharded_bounded_gather"]
 
 
 def bounded_row_gather(v, src_i, src_j, halo: int):
@@ -56,3 +56,49 @@ def bounded_row_gather(v, src_i, src_j, halo: int):
             sel = sel[..., None]
         out = jnp.where(sel, row_gathered, out)
     return out
+
+
+def sharded_bounded_gather(v, src_i, src_j, halo: int, mesh,
+                           axis: str = "space"):
+    """``bounded_row_gather`` as manual SPMD: one LOCAL gather per shard.
+
+    The GSPMD-composable formulation above pays 2*halo+1 per-shift
+    W-gathers + selects per call; under an explicit mesh, shard_map does
+    the same job with the two neighbor-row collective-permutes (the exact
+    halo-exchange pattern of ops/pallas_correlation.py::
+    sharded_pallas_correlation7x7) followed by ONE local 2-D gather into
+    the haloed row window. Bit-identical to ``bounded_row_gather`` (and to
+    the plain ``v[src_i, src_j]`` whenever |src_i - i| <= halo): because
+    ``src_i`` is pre-clipped in-frame, the clamped row reach never crosses
+    a global frame edge, so the zero rows ppermute delivers to the
+    top/bottom shards are never read.
+
+    Requires v's H to divide evenly over ``mesh.shape[axis]``; callers
+    fall back to ``bounded_row_gather`` otherwise (trace-time decision)."""
+    h, w = v.shape[0], v.shape[1]
+    n = mesh.shape[axis]
+    if h % n:
+        raise ValueError(f"H={h} does not shard over {n} devices")
+    ii = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    di = jnp.clip(src_i - ii, -halo, halo)
+
+    def body(v_loc, di_loc, sj_loc):
+        top = jax.lax.ppermute(v_loc[-halo:], axis,
+                               [(i, i + 1) for i in range(n - 1)])
+        bot = jax.lax.ppermute(v_loc[:halo], axis,
+                               [(i + 1, i) for i in range(n - 1)])
+        padded = jnp.concatenate([top, v_loc, bot], axis=0)
+        hl = v_loc.shape[0]
+        li = (jax.lax.broadcasted_iota(jnp.int32, (hl, w), 0)
+              + halo + di_loc)
+        return padded[li, sj_loc]
+
+    def spec(ndim):
+        return jax.sharding.PartitionSpec(axis, *([None] * (ndim - 1)))
+
+    # check_vma=False: the body is per-shard work + two explicit
+    # ppermutes, mirroring the sharded correlation entry
+    return jax.shard_map(body, mesh=mesh,
+                         in_specs=(spec(v.ndim), spec(2), spec(2)),
+                         out_specs=spec(v.ndim), check_vma=False)(
+        v, di, src_j)
