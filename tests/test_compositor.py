@@ -432,6 +432,7 @@ class TestBytepack:
             rng.integers(-2**30, 2**30, (h, w), dtype=np.int32),
             rng.integers(0, 256, (h, w, 3), dtype=np.uint8),
             rng.standard_normal((h, w, 2)).astype(np.float32),
+            rng.integers(0, 2, (h, w, 3)).astype(bool),
         ]
         jplanes = [jnp.asarray(p) for p in planes]
         packed, spec = pack_planes(jplanes)

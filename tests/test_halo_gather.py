@@ -281,3 +281,14 @@ class TestShardedBoundedGather:
                     jnp.float32(0.0), jax.random.key(0))
             outs.append(np.asarray(rgbs))
         np.testing.assert_array_equal(outs[0], outs[1])
+
+    def test_precondition_guard(self):
+        from transflow_tpu.ops.halo_gather import sharded_bounded_gather
+        mesh, n = self._mesh()
+        h, w = 2 * n, 8  # shard height 2
+        v = jnp.zeros((h, w), jnp.uint8)
+        idx = jnp.zeros((h, w), jnp.int32)
+        for halo in (0, 3):  # halo=0 misaligns; halo>shard height unreachable
+            with pytest.raises(ValueError):
+                with mesh:
+                    sharded_bounded_gather(v, idx, idx, halo, mesh)

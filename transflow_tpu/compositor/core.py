@@ -180,32 +180,32 @@ def _movement(params: LayerParams, channels: dict, alpha, flow,
     # gather (moveref) instead of five 1-4 B ones; the halo'd bounded
     # gather packs the same way, shrinking its per-shift W-gathers too.
     if cfg.transparent_pixels_can_move:
-        mask_planes = [params.mask_src, filled]
+        # src_filled is recovered from the gathered alpha below — no
+        # separate `filled` lane in the pack
+        mask_planes = [params.mask_src]
     else:
         mask_planes = [params.mask_src & filled]
     names = list(channels)
     packed, spec = pack_planes(
         mask_planes + [alpha] + [channels[k] for k in names])
     if halo is not None:
-        # explicit mesh with a splitting 'space' axis: manual-SPMD single
-        # local gather; else the GSPMD-composable shift formulation
+        # explicit mesh with a splitting 'space' axis AND shard height
+        # >= halo (the exchange only reaches nearest neighbors):
+        # manual-SPMD single local gather; else the GSPMD-composable
+        # shift formulation
         if (mesh is not None and "space" in mesh.shape
                 and mesh.shape["space"] > 1
-                and h % mesh.shape["space"] == 0):
+                and h % mesh.shape["space"] == 0
+                and 1 <= halo <= h // mesh.shape["space"]):
             g = sharded_bounded_gather(packed, src_i, src_j, halo, mesh)
         else:
             g = bounded_row_gather(packed, src_i, src_j, halo)
     else:
         g = packed[src_i, src_j]
     got = unpack_planes(g, spec)
-    if cfg.transparent_pixels_can_move:
-        src_ok, src_filled = got[0], got[1]
-        rest = got[2:]
-    else:
-        src_ok, src_filled = got[0], None
-        rest = got[1:]
-    g_alpha = rest[0]
-    g_channels = dict(zip(names, rest[1:]))
+    src_ok, g_alpha = got[0], got[1]
+    g_channels = dict(zip(names, got[2:]))
+    src_filled = (g_alpha != 0) if cfg.transparent_pixels_can_move else None
     dst_ok = params.mask_dst
     if not cfg.pixels_can_move_to_empty_spot:
         dst_ok = dst_ok & filled
@@ -239,6 +239,26 @@ def _movement(params: LayerParams, channels: dict, alpha, flow,
     else:
         new_alpha = jnp.where(is_target, jnp.ones_like(new_alpha), new_alpha)
     return out, new_alpha, (moving, src_i, src_j)
+
+
+def _gather_pixmap_slices(params: LayerParams, pixmaps, gi, gj):
+    """Per-source pixmap reads at shared indices.
+
+    All sources concatenate into ONE wider-slice gather (ops/bytepack.py
+    rationale — the indices are identical across sources); yields each
+    source's (H, W, channel_counts[s]) slice in order."""
+    if params.num_sources > 1:
+        packed = jnp.concatenate(
+            [pixmaps[s] for s in range(params.num_sources)], axis=-1)
+        gathered_all = packed[gi, gj]
+        offset = 0
+        for s in range(params.num_sources):
+            c = params.channel_counts[s]
+            yield gathered_all[..., offset:offset + c]
+            offset += c
+    else:
+        for s in range(params.num_sources):
+            yield pixmaps[s][gi, gj]
 
 
 # --------------------------------------------------------------------------
@@ -310,21 +330,10 @@ def _reference_rgba(params: LayerParams, state: dict, pixmaps) -> dict:
     a = rgba[..., 3]
     mi = jnp.clip(state["pos_i"], 0, h - 1)
     mj = jnp.clip(state["pos_j"], 0, w - 1)
-    # all sources share the mapping indices, so their pixmaps concatenate
-    # into ONE wider-slice gather (ops/bytepack.py rationale)
-    if params.num_sources > 1:
-        packed = jnp.concatenate(
-            [pixmaps[s] for s in range(params.num_sources)], axis=-1)
-        gathered_all = packed[mi, mj]
-    offset = 0
-    for s in range(params.num_sources):
+    slices = _gather_pixmap_slices(params, pixmaps, mi, mj)
+    for s, gathered in zip(range(params.num_sources), slices):
         channels = params.channel_counts[s]
         sel = (state["source"] == s) & (state["alpha"] != 0)
-        if params.num_sources > 1:
-            gathered = gathered_all[..., offset:offset + channels]
-            offset += channels
-        else:
-            gathered = pixmaps[s][mi, mj]
         rgb = jnp.where(sel[..., None], gathered[..., :3], rgb)
         if channels == 4:
             a = jnp.where(sel, gathered[..., 3], a)
@@ -418,20 +427,9 @@ def update_introduction(params: LayerParams, state: dict, flow, pixmaps,
     ii, jj = _base_coords(h, w)
     gi = src_i if consider_flow else ii
     gj = src_j if consider_flow else jj
-    # one gather across sources (same indices — see _reference_rgba)
-    if params.num_sources > 1:
-        packed = jnp.concatenate(
-            [pixmaps[s] for s in range(params.num_sources)], axis=-1)
-        gathered_all = packed[gi, gj]
-    offset = 0
-    for s in range(params.num_sources):
+    slices = _gather_pixmap_slices(params, pixmaps, gi, gj)
+    for s, gathered in zip(range(params.num_sources), slices):
         tgt = mask & params.intro_masks[s]
-        if params.num_sources > 1:
-            gathered = gathered_all[..., offset:offset
-                                    + params.channel_counts[s]]
-            offset += params.channel_counts[s]
-        else:
-            gathered = pixmaps[s][gi, gj]
         new_rgb = gathered[..., :3]
         if params.channel_counts[s] == 4:
             new_a = gathered[..., 3].astype(ALPHA_DTYPE)

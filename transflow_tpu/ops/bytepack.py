@@ -49,7 +49,7 @@ def unpack_planes(packed, spec):
     for dtype, ndim, channels, off, width in spec:
         b = packed[..., off:off + width]
         if dtype == jnp.bool_:
-            p = b[..., 0] != 0
+            p = (b != 0) if ndim == 3 else (b[..., 0] != 0)
         elif dtype == jnp.uint8:
             p = b if ndim == 3 else b[..., 0]
         else:

@@ -73,12 +73,19 @@ def sharded_bounded_gather(v, src_i, src_j, halo: int, mesh,
     a global frame edge, so the zero rows ppermute delivers to the
     top/bottom shards are never read.
 
-    Requires v's H to divide evenly over ``mesh.shape[axis]``; callers
-    fall back to ``bounded_row_gather`` otherwise (trace-time decision)."""
+    Requires v's H to divide evenly over ``mesh.shape[axis]`` AND a shard
+    height of at least ``halo`` rows with ``halo >= 1`` (the exchange only
+    reaches nearest neighbors, and ``v_loc[-0:]`` would misalign the
+    window); callers fall back to ``bounded_row_gather`` otherwise
+    (trace-time decision)."""
     h, w = v.shape[0], v.shape[1]
     n = mesh.shape[axis]
     if h % n:
         raise ValueError(f"H={h} does not shard over {n} devices")
+    if halo < 1 or h // n < halo:
+        raise ValueError(
+            f"halo={halo} needs 1 <= halo <= shard height {h // n} "
+            "(neighbor-only exchange); use bounded_row_gather")
     ii = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     di = jnp.clip(src_i - ii, -halo, halo)
 
