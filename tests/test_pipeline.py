@@ -198,6 +198,29 @@ class TestFlowExport:
                     b = np.load(fb)
                 assert np.array_equal(a, b), name
 
+    def test_archive_replay_batched_matches_per_frame(self, assets,
+                                                      tmp_path):
+        """Flow-yielding sources (archive replay) take the chunked scan
+        path (no estimation, engine.device_scan_flows) and must match the
+        per-frame path bit-exactly, including the short-chunk tail."""
+        out = str(tmp_path / "exp.avi")
+        cfg = Config(assets["video"], output_path=out, vcodec="mjpeg",
+                     pixmap_sources=[PixmapSourceConfig("noise")], seed=9)
+        run_pipeline(cfg, replace=True, export_flow=True)
+        flow_zip = str(tmp_path / "exp.flow.zip")
+        outs = []
+        for idx, batch in enumerate([1, 4]):
+            out_r = str(tmp_path / f"rp{idx}.avi")
+            cfg2 = Config(flow_zip, output_path=out_r, vcodec="mjpeg",
+                          pixmap_sources=[PixmapSourceConfig("noise")],
+                          seed=9, batch_frames=batch)
+            pipeline = run_pipeline(cfg2, replace=True)
+            assert pipeline._batch_size == batch
+            outs.append(read_frames(out_r))
+        assert len(outs[0]) == len(outs[1]) == 11
+        for fa, fb in zip(outs[0], outs[1]):
+            assert np.array_equal(fa, fb)
+
 
 class TestCheckpoint:
 

@@ -345,16 +345,56 @@ class Engine:
             return comp_state, prev_gray, prev_flow, key, frames, flows
 
         self._device_scan = jax.jit(device_scan, donate_argnums=(0, 1, 2))
+
+        def device_scan_flows(comp_state, key, raw_flows, ts, const_pixmaps,
+                              pix_chunks, frame0, params_list, pp_masks):
+            """lax.scan over a (K, H, W, 2) chunk of PRECOMPUTED flows —
+            the archive-replay / motion-vector fast path (no estimation,
+            no estimator carry). Parity: the reference's fastest modes
+            (transflow/flow/sources/archive.py replay and av.py motion-
+            vector side-data); RNG/timestamp/frame-number arithmetic is
+            identical to device_scan so chunked == per-frame bit-exactly."""
+            k = raw_flows.shape[0]
+            frame_nos = frame0 + jnp.arange(k, dtype=jnp.int32)
+
+            def body(carry, inputs):
+                comp_state, key = carry
+                raw, t, fno, chunk_k = inputs
+                key, subkey = jax.random.split(key)
+                pixmaps = tuple(
+                    tuple(const if chunk is None else chunk
+                          for const, chunk in zip(const_layer, chunk_layer))
+                    for const_layer, chunk_layer
+                    in zip(const_pixmaps, chunk_k))
+                frame_numbers = jax.tree.map(lambda _: fno, frame_numbers0)
+                comp_state, frame, flow = device_step(
+                    comp_state, (raw,), t, pixmaps, subkey, frame_numbers,
+                    params_list, pp_masks)
+                out = (frame, flow) if export_flows else (frame, ())
+                return (comp_state, key), out
+
+            frame_numbers0 = tuple(
+                tuple(0 for _ in p.channel_counts) for p in layer_params)
+            ((comp_state, key), (frames, flows)) = jax.lax.scan(
+                body, (comp_state, key),
+                (raw_flows, ts, frame_nos, pix_chunks))
+            return comp_state, key, frames, flows
+
+        self._device_scan_flows = jax.jit(device_scan_flows,
+                                          donate_argnums=0)
         self._framerate = 30.0  # set by the pipeline before chunking
 
     # ------------------------------------------------------------------
 
     def process_chunk(self, gray_frames: np.ndarray, const_pixmaps,
                       pix_chunks, base_frame: int, frame0: int):
-        """Process a stacked (K, H, W) chunk through one scanned dispatch.
+        """Process a stacked chunk through one scanned dispatch.
 
-        Only valid for a single frame-yielding flow source (the pipeline
-        gates on that). ``const_pixmaps``/``pix_chunks``: per-layer tuples
+        Only valid for a single non-stream flow source (the pipeline gates
+        on that). For a frame-yielding source ``gray_frames`` is the
+        (K, H, W) uint8 chunk; for a flow-yielding source (archive replay,
+        motion vectors) it is the (K, H, W, 2) raw-flow chunk and the scan
+        skips estimation. ``const_pixmaps``/``pix_chunks``: per-layer tuples
         of per-source slots — constant sources carry their persistent
         (H, W, C) device array in the first structure (None in the second);
         video sources carry a stacked (K, H, W, C) host chunk in the second
@@ -362,8 +402,6 @@ class Engine:
         array, plus the K post-processed flows when the engine was built
         with ``export_flows`` (else ``()``)."""
         runtime = self.runtimes[0]
-        runtime._maybe_rejit()
-        grays = self._put_chunk(np.ascontiguousarray(gray_frames))
         # pixmaps replicate under a mesh: the render gather's reach through
         # the accumulated mapping is unbounded (parallel/mesh.py)
         pix_chunks = jax.tree.map(
@@ -372,6 +410,20 @@ class Engine:
         # jnp.float32((base + k) / framerate) to the last bit
         ts = np.float32((base_frame + np.arange(len(gray_frames)))
                         / self._framerate)
+        if runtime.estimator_step is None:
+            # flow-yielding source (archive replay / motion vectors): the
+            # stacked chunk IS the raw flows — no estimator, no prev carry
+            raws = self._put_chunk(np.ascontiguousarray(
+                np.asarray(gray_frames, dtype=np.float32)))
+            (self.comp_state, self.key, frames, flows) = \
+                self._device_scan_flows(
+                    self.comp_state, self.key, raws, jnp.asarray(ts),
+                    const_pixmaps, pix_chunks, jnp.int32(frame0),
+                    self.layer_params, self._pp_masks)
+            runtime.last_raw = raws[-1]
+            return frames, flows
+        runtime._maybe_rejit()
+        grays = self._put_chunk(np.ascontiguousarray(gray_frames))
         (self.comp_state, runtime.prev_gray, runtime.prev_flow, self.key,
          frames, flows) = self._device_scan(
             self.comp_state, runtime.prev_gray, runtime.prev_flow, self.key,

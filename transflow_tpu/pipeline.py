@@ -602,15 +602,18 @@ class Pipeline:
     @property
     def _batch_size(self) -> int:
         """Frames per device dispatch. Chunked (lax.scan) mode needs:
-        exactly one frame-yielding non-stream flow source, no lock
-        expression, no live tuning window, and no window output (a K-frame
-        chunk would add K frames of preview latency). Still AND video
-        pixmaps both batch (video frames stack into scanned (K, H, W, C)
-        chunks — the reference's mainline ``flow.mp4 -p pixmap.mp4`` case).
-        Batching is ON by default (AUTO_BATCH); ``--batch-frames 1`` forces
-        the per-frame path, ``--batch-frames K`` picks the chunk size.
-        Chunked output is bit-equal to per-frame (tested), so the default
-        only changes throughput."""
+        exactly one non-stream flow source, no lock expression, no live
+        tuning window, and no window output (a K-frame chunk would add K
+        frames of preview latency). Frame-yielding sources scan through
+        the estimator; flow-yielding sources (archive replay, motion
+        vectors — the reference's fastest modes) scan the stacked raw
+        flows directly. Still AND video pixmaps both batch (video frames
+        stack into scanned (K, H, W, C) chunks — the reference's mainline
+        ``flow.mp4 -p pixmap.mp4`` case). Batching is ON by default
+        (AUTO_BATCH); ``--batch-frames 1`` forces the per-frame path,
+        ``--batch-frames K`` picks the chunk size. Chunked output is
+        bit-equal to per-frame (tested), so the default only changes
+        throughput."""
         batch = self.config.batch_frames
         if batch is None:
             batch = self.AUTO_BATCH
@@ -619,11 +622,11 @@ class Pipeline:
         if len(self.flow_sources) != 1:
             return 1
         source = self.flow_sources[0]
-        if not source.yields_frames or self.config.lock_expr is not None:
+        if self.config.lock_expr is not None:
             return 1
         if source.is_stream:  # webcam: realtime, keep per-frame latency
             return 1
-        if getattr(source.config, "show_window", False):
+        if getattr(getattr(source, "config", None), "show_window", False):
             return 1
         if self.window_outputs:
             return 1
@@ -661,6 +664,8 @@ class Pipeline:
         RNG/timestamp/frame-number arithmetic. Does not advance
         self.cursor — the caller accounts the whole chunk."""
         from .flow.sources.base import FlowItem
+        kind = (FlowItem.FRAME if self.flow_sources[0].yields_frames
+                else FlowItem.FLOW)
         base = self.ckpt_meta.get("cursor", 0) + self.cursor
         for k, gray in enumerate(grays):
             pixmaps = tuple(
@@ -673,7 +678,7 @@ class Pipeline:
                                   for binding in self._layer_bindings)
             with timers.stage("device_step"):
                 frame, flow = self.engine.process_frame(
-                    [FlowItem(FlowItem.FRAME, gray)], pixmaps,
+                    [FlowItem(kind, gray)], pixmaps,
                     (base + k) / self.fs_framerate, frame_numbers)
             with timers.stage("drain"):
                 self._drain(frame, flow)
