@@ -1020,6 +1020,38 @@ def bench_e2e_cli(frames: int = 96) -> dict:
         assert pipeline.cursor == frames - 1, pipeline.cursor
         out[f"e2e_fps_{name}"] = round(pipeline.cursor / elapsed, 2)
         out[f"e2e_batch_{name}"] = pipeline._batch_size
+
+    # archive replay — the reference's headline "render a precomputed
+    # .flow.zip" mode (transflow/flow/sources/archive.py), served by the
+    # estimator-free chunked flow scan (engine.device_scan_flows). Smooth
+    # float16 flows (the source casts to float32 on read) keep the
+    # synthetic archive small; unzip+np.load per frame is the real decode
+    # cost and is deliberately included.
+    from transflow_tpu.output.archive import NumpyArchiveOutput
+    arc = os.path.join(root, "replay.flow.zip")
+    writer = NumpyArchiveOutput(arc, {
+        "direction": 0, "width": WIDTH, "height": HEIGHT,
+        "framerate": 30.0}, replace=True)
+    yy = np.linspace(0, 2 * np.pi, HEIGHT, dtype=np.float32)[:, None]
+    xx = np.linspace(0, 2 * np.pi, WIDTH, dtype=np.float32)[None, :]
+    for k in range(frames):
+        phase = 2 * np.pi * k / frames
+        flow = np.stack([3 * np.sin(xx + phase) * np.cos(yy),
+                         3 * np.cos(xx) * np.sin(yy + phase)],
+                        axis=-1).astype(np.float16)
+        writer.write_array(flow)
+    writer.close()
+    dst = os.path.join(root, "out_replay.avi")
+    cfg = Config(arc, output_path=dst, vcodec="mjpeg",
+                 pixmap_sources=[PixmapSourceConfig(pix)], seed=0)
+    pipeline = Pipeline(cfg, progress=False, execute=False, replace=True,
+                        export_config=False)
+    start = time.perf_counter()
+    pipeline.run()
+    elapsed = time.perf_counter() - start
+    assert pipeline.cursor == frames, pipeline.cursor
+    out["e2e_fps_archive_replay"] = round(pipeline.cursor / elapsed, 2)
+    out["e2e_batch_archive_replay"] = pipeline._batch_size
     import shutil
     shutil.rmtree(root, ignore_errors=True)
     return out
