@@ -131,6 +131,19 @@ class TestArchiveFlowSource:
             assert all(i.kind == FlowItem.FLOW for i in items)
             assert items[0].array.shape == (48, 64, 2)
 
+    def test_prefetch_pool_bit_identical(self, flow_archive, monkeypatch):
+        """The threaded prefetcher (archive.py docstring) must replay the
+        same bytes as the sequential reader across seek/repeat rewinds."""
+        def read_all(threads):
+            monkeypatch.setenv("TRANSFLOW_ARCHIVE_THREADS", threads)
+            with FlowSource.from_args(flow_archive, seek_time=0.3,
+                                      repeat=2) as src:
+                return [i.array.copy() for i in src]
+        seq, pooled = read_all("1"), read_all("4")
+        assert len(seq) == len(pooled) == 14  # (10 - 3) * 2
+        for a, b in zip(seq, pooled):
+            assert np.array_equal(a, b)
+
 
 class TestPixmapRouting:
 
