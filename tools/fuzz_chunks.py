@@ -1,5 +1,8 @@
 """Randomized chunk-boundary fuzz: chunked scan == per-frame, bit-equal,
-across seek / duration / repeat / lock / checkpoint / resume boundaries.
+across seek / duration / repeat / lock / checkpoint / resume boundaries,
+for BOTH source kinds — frame-yielding video (estimator scan) and
+flow-yielding `.flow.zip` replay (the estimator-free flow scan,
+engine.device_scan_flows).
 
 The chunked path's edge machinery (pending-prime rewind flush,
 checkpoint-aligned ``want``, short-chunk per-frame fallback with matched
@@ -66,7 +69,24 @@ def make_assets(root):
     image = os.path.join(root, "pix.png")
     PIL.Image.fromarray(
         rng.integers(0, 255, (H, W, 3), dtype=np.uint8)).save(image)
-    return video, image
+    # a .flow.zip so cases can draw the flow-yielding replay source (the
+    # estimator-free chunked scan path, engine.device_scan_flows):
+    # smooth time-varying flows, float16 on disk (the source casts)
+    from transflow_tpu.output.archive import NumpyArchiveOutput
+    archive = os.path.join(root, "flow.flow.zip")
+    arc = NumpyArchiveOutput(archive, {"direction": 0, "width": W,
+                                       "height": H, "framerate": FPS},
+                             replace=True)
+    yy = np.linspace(0, 2 * np.pi, H, dtype=np.float32)[:, None]
+    xx = np.linspace(0, 2 * np.pi, W, dtype=np.float32)[None, :]
+    for t in range(N_FRAMES):
+        phase = 2 * np.pi * t / N_FRAMES
+        arc.write_array(np.stack(
+            [2.5 * np.sin(xx + phase) * np.cos(yy + 0.5 * phase),
+             2.5 * np.cos(xx - phase) * np.sin(yy)],
+            axis=-1).astype(np.float16))
+    arc.close()
+    return video, image, archive
 
 
 def draw_case(rng, video, image):
@@ -88,6 +108,7 @@ def draw_case(rng, video, image):
         checkpoint_every=(int(rng.choice([3, 5, 7]))
                           if rng.random() < 0.5 else None),
         pixmap=str(rng.choice(["image", "video"])),
+        source=str(rng.choice(["video", "archive"])),
         filters=(str(rng.choice(["scale=1+math.sin(40*t)", "clip=4",
                                  "threshold=0.5"]))
                  if rng.random() < 0.4 else None),
@@ -101,10 +122,11 @@ def draw_case(rng, video, image):
     return case, layers
 
 
-def build_config(case, layers, video, image, out_template):
+def build_config(case, layers, video, image, archive, out_template):
     pix = image if case["pixmap"] == "image" else video
+    src = video if case.get("source", "video") == "video" else archive
     return Config(
-        video,
+        src,
         pixmap_sources=[PixmapSourceConfig(pix, layers=[0])],
         layers=list(layers),
         output_path=out_template,
@@ -126,14 +148,14 @@ def frames_of(folder, prefix):
                   if f.startswith(prefix) and f.endswith(".png"))
 
 
-def run_case(index, case, layers, video, image, workdir):
+def run_case(index, case, layers, video, image, archive, workdir):
     folder = os.path.join(workdir, f"case{index}")
     os.makedirs(folder, exist_ok=True)
     results = {}
     for tag, batch in (("pf", 1), ("ch", case["batch"])):
         sub = dict(case, batch=batch)
         template = os.path.join(folder, f"{tag}-%03d.png")
-        cfg = build_config(sub, layers, video, image, template)
+        cfg = build_config(sub, layers, video, image, archive, template)
         Pipeline(cfg, progress=False, execute=False, replace=True,
                  checkpoint_every=(case["checkpoint_every"]
                                    if tag == "ch" else None)).run()
@@ -195,19 +217,21 @@ def main():
     args = parser.parse_args()
 
     workdir = tempfile.mkdtemp(prefix="transflow_fuzz_chunks_")
-    video, image = make_assets(workdir)
+    video, image, archive = make_assets(workdir)
     rng = np.random.default_rng(args.seed)
     failures = 0
     for index in range(args.n):
         case, layers = draw_case(rng, video, image)
         if args.only is not None and index != args.only:
             continue
-        error = run_case(index, case, layers, video, image, workdir)
+        error = run_case(index, case, layers, video, image, archive,
+                         workdir)
         if error:
             failures += 1
             print(f"FAIL case {index}: {error}\n  {case}", flush=True)
         else:
-            print(f"ok case {index}: batch={case['batch']} "
+            print(f"ok case {index}: src={case['source']} "
+                  f"batch={case['batch']} "
                   f"seek={case['seek_time']} dur={case['duration_time']} "
                   f"rep={case['repeat']} ckpt={case['checkpoint_every']} "
                   f"lock={case['lock']} pix={case['pixmap']}", flush=True)
