@@ -131,18 +131,54 @@ class TestArchiveFlowSource:
             assert all(i.kind == FlowItem.FLOW for i in items)
             assert items[0].array.shape == (48, 64, 2)
 
-    def test_prefetch_pool_bit_identical(self, flow_archive, monkeypatch):
+    def test_prefetch_pool_bit_identical(self, tmp_path, monkeypatch):
         """The threaded prefetcher (archive.py docstring) must replay the
-        same bytes as the sequential reader across seek/repeat rewinds."""
+        same bytes as the sequential reader across seek/repeat rewinds.
+        int16 members so the archive is DEFLATED (the pool's path —
+        float members go STORED and take the mmap path instead)."""
+        path = str(tmp_path / "i.flow.zip")
+        out = NumpyArchiveOutput(path, {"direction": 0, "width": 64,
+                                        "height": 48, "framerate": 10.0},
+                                 replace=True)
+        rng = np.random.default_rng(3)
+        for _ in range(10):
+            out.write_array(rng.integers(-4, 4, (48, 64, 2),
+                                         dtype=np.int16))
+        out.close()
+        import zipfile
+        assert all(i.compress_type == zipfile.ZIP_DEFLATED
+                   for i in zipfile.ZipFile(path).infolist()
+                   if i.filename.endswith(".npy"))
+
         def read_all(threads):
             monkeypatch.setenv("TRANSFLOW_ARCHIVE_THREADS", threads)
-            with FlowSource.from_args(flow_archive, seek_time=0.3,
+            with FlowSource.from_args(path, seek_time=0.3,
                                       repeat=2) as src:
                 return [i.array.copy() for i in src]
         seq, pooled = read_all("1"), read_all("4")
         assert len(seq) == len(pooled) == 14  # (10 - 3) * 2
         for a, b in zip(seq, pooled):
             assert np.array_equal(a, b)
+
+    def test_mmap_stored_path_bit_identical(self, flow_archive,
+                                            monkeypatch):
+        """Float members are STORED and served as zero-copy mmap views;
+        must match the zf.read fallback byte-for-byte."""
+        import zipfile
+        assert any(i.compress_type == zipfile.ZIP_STORED
+                   for i in zipfile.ZipFile(flow_archive).infolist()
+                   if i.filename.endswith(".npy"))
+
+        def read_all(mmap_flag):
+            monkeypatch.setenv("TRANSFLOW_ARCHIVE_MMAP", mmap_flag)
+            with FlowSource.from_args(flow_archive, seek_time=0.3,
+                                      repeat=2) as src:
+                return [np.array(i.array) for i in src]
+        plain, mapped = read_all("0"), read_all("1")
+        assert len(plain) == len(mapped) == 14
+        for a, b in zip(plain, mapped):
+            assert np.array_equal(a, b)
+        assert mapped[0].dtype == np.float32
 
 
 class TestPixmapRouting:
