@@ -91,6 +91,19 @@ def rand(shape, dtype=jnp.bfloat16):
     return jnp.asarray(rng.standard_normal(shape, dtype=np.float32)).astype(dtype)
 
 
+def _section(name, fn):
+    """Run one profile section; a crash (worker kill, OOM, init error)
+    records the error and lets the remaining sections try — observed in
+    the poll-serialized regime: full_net kills the TPU worker, and an
+    unwrapped module init then aborted the whole dump (2026-08-19)."""
+    try:
+        fn()
+    except Exception as exc:
+        RESULTS[f"{name}_section_error"] = repr(exc)[:160]
+        print(f"  section {name}: ABORTED {repr(exc)[:80]}",
+              file=sys.stderr, flush=True)
+
+
 def main():
     print(f"devices: {jax.devices()}  chain N={N}", file=sys.stderr, flush=True)
     hw, ch = feat_shapes()
@@ -98,10 +111,44 @@ def main():
     # base chain: measures the scan+dispatch floor to subtract
     base = chain_time("base_chain", lambda x: x * 1.000001 + 1e-9,
                       (jnp.float32(1.0),))
+    try:
+        _main_sections(hw, ch)
+    finally:
+        # ALWAYS dump what measured, even if a section hard-killed the
+        # backend — partial per-module numbers are the valuable part
+        RESULTS["base_ms"] = round((base or 0.0) * 1e3, 3)
+        RESULTS["meta"] = {"H": H, "W": W, "N": N,
+                           "backend": jax.default_backend(),
+                           "ts": time.time()}
+        print(json.dumps(RESULTS, indent=1))
 
-    # full network
+
+def _main_sections(hw, ch):
     img1 = rand((H, W, 3), jnp.float32)
     img2 = rand((H, W, 3), jnp.float32)
+
+    def _features():
+        # features trunk (shared weights, two calls per frame-pair)
+        feat_mod = lfn.Features()
+        fvars = feat_mod.init(jax.random.PRNGKey(0), img1)
+        chain_time("features_one_image",
+                   lambda x: feat_mod.apply(fvars, x), (img1,))
+        # the net runs ONE batch-2 trunk call (values identical; the A/B
+        # here is 1x batched-pair vs 2x the single-image figure above)
+        chain_time("features_pair_batched",
+                   lambda x, y: feat_mod.apply(fvars, jnp.stack([x, y])),
+                   (img1, img2))
+    _section("features", _features)
+
+    # per-level heads. level l uses feats index l-1 (feats[1]=544x960 at lvl2)
+    for lvl in (2, 3, 4):
+        _section(f"heads_l{lvl}", lambda lvl=lvl: _head_sections(lvl, hw, ch))
+
+    _section("hot_ops", lambda: _hot_op_sections(hw))
+
+    # full network LAST: it is the one program long enough to kill the
+    # TPU worker in a sick regime — a crash here must not cost the
+    # per-module numbers above
     variables = lfn.get_weights(allow_random=True)
     model = lfn.LiteFlowNet(warp_bound=0)
 
@@ -119,54 +166,45 @@ def main():
     except TypeError:
         pass  # older checkout without lfn_scale
 
-    # features trunk (shared weights, two calls per frame-pair in the net)
-    feat_mod = lfn.Features()
-    fvars = feat_mod.init(jax.random.PRNGKey(0), img1)
-    chain_time("features_one_image", lambda x: feat_mod.apply(fvars, x),
-               (img1,))
-    # the net runs ONE batch-2 trunk call (values identical; the A/B here
-    # is 1x batched-pair vs 2x the single-image figure above)
-    chain_time("features_pair_batched",
-               lambda x, y: feat_mod.apply(fvars, jnp.stack([x, y])),
-               (img1, img2))
 
-    # per-level heads. level l uses feats index l-1 (feats[1]=544x960 at lvl2)
-    for lvl in (2, 3, 4):
-        (h, w), c = hw[lvl - 1], ch[lvl - 1]
-        f1 = rand((h, w, c))
-        f2 = rand((h, w, c))
-        flow_half = rand((h // 2, w // 2, 2), jnp.float32)
-        flow = rand((h, w, 2), jnp.float32)
-        im1 = rand((h, w, 3), jnp.float32)
-        im2 = rand((h, w, 3), jnp.float32)
+def _head_sections(lvl, hw, ch):
+    (h, w), c = hw[lvl - 1], ch[lvl - 1]
+    f1 = rand((h, w, c))
+    f2 = rand((h, w, c))
+    flow_half = rand((h // 2, w // 2, 2), jnp.float32)
+    flow = rand((h, w, 2), jnp.float32)
+    im1 = rand((h, w, 3), jnp.float32)
+    im2 = rand((h, w, 3), jnp.float32)
 
-        mat = lfn.Matching(lvl, 0)
-        mvars = mat.init(jax.random.PRNGKey(1), f1, f2, flow_half)
-        chain_time(f"matching_l{lvl}",
-                   lambda a, b, fl, m=mat, v=mvars: m.apply(v, a, b, fl),
-                   (f1, f2, flow_half))
+    mat = lfn.Matching(lvl, 0)
+    mvars = mat.init(jax.random.PRNGKey(1), f1, f2, flow_half)
+    chain_time(f"matching_l{lvl}",
+               lambda a, b, fl, m=mat, v=mvars: m.apply(v, a, b, fl),
+               (f1, f2, flow_half))
 
-        sub = lfn.Subpixel(lvl, 0)
-        svars = sub.init(jax.random.PRNGKey(2), f1, f2, flow)
-        chain_time(f"subpixel_l{lvl}",
-                   lambda a, b, fl, m=sub, v=svars: m.apply(v, a, b, fl),
-                   (f1, f2, flow))
+    sub = lfn.Subpixel(lvl, 0)
+    svars = sub.init(jax.random.PRNGKey(2), f1, f2, flow)
+    chain_time(f"subpixel_l{lvl}",
+               lambda a, b, fl, m=sub, v=svars: m.apply(v, a, b, fl),
+               (f1, f2, flow))
 
-        reg = lfn.Regularization(lvl)
-        rvars = reg.init(jax.random.PRNGKey(3), im1, im2, f1, flow)
-        chain_time(f"regularization_l{lvl}",
-                   lambda a, b, ft, fl, m=reg, v=rvars: m.apply(v, a, b, ft, fl),
+    reg = lfn.Regularization(lvl)
+    rvars = reg.init(jax.random.PRNGKey(3), im1, im2, f1, flow)
+    chain_time(f"regularization_l{lvl}",
+               lambda a, b, ft, fl, m=reg, v=rvars: m.apply(v, a, b, ft, fl),
+               (im1, im2, f1, flow))
+    try:
+        reg_conv = lfn.Regularization(lvl, fused_apply=False)
+        chain_time(f"regularization_l{lvl}_convapply",
+                   lambda a, b, ft, fl, m=reg_conv, v=rvars:
+                   m.apply(v, a, b, ft, fl),
                    (im1, im2, f1, flow))
-        try:
-            reg_conv = lfn.Regularization(lvl, fused_apply=False)
-            chain_time(f"regularization_l{lvl}_convapply",
-                       lambda a, b, ft, fl, m=reg_conv, v=rvars:
-                       m.apply(v, a, b, ft, fl),
-                       (im1, im2, f1, flow))
-        except TypeError:
-            pass  # older checkout without fused_apply
+    except TypeError:
+        pass  # older checkout without fused_apply
 
-    # isolated hot ops at level 2 (544x960)
+
+def _hot_op_sections(hw):
+    # isolated hot ops at level 2 (544x960 at the default 1088x1920)
     h, w = hw[1]
     f64a = rand((h, w, 64))
     f64b = rand((h, w, 64))
@@ -241,12 +279,6 @@ def main():
                    (flow_half,))
     except ImportError:
         pass  # older checkout without the fast paths
-
-    RESULTS["base_ms"] = round(base * 1e3, 3)
-    RESULTS["meta"] = {"H": H, "W": W, "N": N,
-                       "backend": jax.default_backend(),
-                       "ts": time.time()}
-    print(json.dumps(RESULTS, indent=1))
 
 
 if __name__ == "__main__":
