@@ -122,6 +122,25 @@ class TestArchives:
             with z.open("meta.json") as f:
                 assert json.load(f)["width"] == 4
 
+    def test_adaptive_member_compression(self, tmp_path):
+        """Dense float flows go STORED (mantissas don't compress; zero-
+        copy mmap reads), compressible floats (static-footage MV exports
+        are exact zeros) and integer flows stay DEFLATED."""
+        import zipfile
+        path = str(tmp_path / "c.flow.zip")
+        out = NumpyArchiveOutput(path, {"width": 64, "height": 48,
+                                        "framerate": 10, "direction": 0})
+        rng = np.random.default_rng(0)
+        out.write_array(rng.normal(size=(48, 64, 2)).astype(np.float32))
+        out.write_array(np.zeros((48, 64, 2), dtype=np.float32))
+        out.write_array(rng.integers(-4, 4, (48, 64, 2), dtype=np.int16))
+        out.close()
+        with zipfile.ZipFile(path) as z:
+            kinds = {i.filename: i.compress_type for i in z.infolist()}
+        assert kinds["000000000.npy"] == zipfile.ZIP_STORED
+        assert kinds["000000001.npy"] == zipfile.ZIP_DEFLATED
+        assert kinds["000000002.npy"] == zipfile.ZIP_DEFLATED
+
     def test_zip_arrays(self, tmp_path):
         import zipfile, io
         path = str(tmp_path / "state.ckpt.zip")

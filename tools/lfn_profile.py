@@ -91,11 +91,19 @@ def rand(shape, dtype=jnp.bfloat16):
     return jnp.asarray(rng.standard_normal(shape, dtype=np.float32)).astype(dtype)
 
 
+_SKIP = set(filter(None, os.environ.get("LFN_SKIP", "").split(",")))
+
+
 def _section(name, fn):
     """Run one profile section; a crash (worker kill, OOM, init error)
     records the error and lets the remaining sections try — observed in
     the poll-serialized regime: full_net kills the TPU worker, and an
-    unwrapped module init then aborted the whole dump (2026-08-19)."""
+    unwrapped module init then aborted the whole dump (2026-08-19).
+    LFN_SKIP=sec1,sec2 skips named sections (e.g. LFN_SKIP=corr,full_net
+    in-regime: both programs are long enough to kill the worker)."""
+    if name in _SKIP:
+        RESULTS[f"{name}_skipped"] = "LFN_SKIP"
+        return
     try:
         fn()
     except Exception as exc:
@@ -144,27 +152,32 @@ def _main_sections(hw, ch):
     for lvl in (2, 3, 4):
         _section(f"heads_l{lvl}", lambda lvl=lvl: _head_sections(lvl, hw, ch))
 
+    _section("warp", lambda: _warp_sections(hw))
+    # the correlation A/B is its own section: the 49-shift XLA program at
+    # level 2 is long enough to kill the worker in a sick regime
+    # (observed 2026-08-19, 544x960) — LFN_SKIP=corr preserves the rest
+    _section("corr", lambda: _corr_sections(hw))
     _section("hot_ops", lambda: _hot_op_sections(hw))
 
-    # full network LAST: it is the one program long enough to kill the
-    # TPU worker in a sick regime — a crash here must not cost the
-    # per-module numbers above
-    variables = lfn.get_weights(allow_random=True)
-    model = lfn.LiteFlowNet(warp_bound=0)
-
-    def full(i1, i2):
-        return model.apply(variables, i1, i2)
-    chain_time("full_net", full, (img1, img2), n=max(4, N // 3))
-
-    # the lfn_scale=0.5 product knob: entry-point path incl. the input
-    # downscale and the flow upscale back to full resolution
-    try:
-        chain_time("full_net_scale05",
-                   lambda a, b: lfn.liteflownet(
-                       a, b, allow_random=True, warp_bound=0, scale=0.5),
+    def _full_net():
+        # full network LAST: the longest program — a worker kill here
+        # must not cost the per-module numbers above
+        variables = lfn.get_weights(allow_random=True)
+        model = lfn.LiteFlowNet(warp_bound=0)
+        chain_time("full_net",
+                   lambda i1, i2: model.apply(variables, i1, i2),
                    (img1, img2), n=max(4, N // 3))
-    except TypeError:
-        pass  # older checkout without lfn_scale
+        # the lfn_scale=0.5 product knob: entry-point path incl. the
+        # input downscale and the flow upscale back to full resolution
+        try:
+            chain_time("full_net_scale05",
+                       lambda a, b: lfn.liteflownet(
+                           a, b, allow_random=True, warp_bound=0,
+                           scale=0.5),
+                       (img1, img2), n=max(4, N // 3))
+        except TypeError:
+            pass  # older checkout without lfn_scale
+    _section("full_net", _full_net)
 
 
 def _head_sections(lvl, hw, ch):
@@ -203,22 +216,21 @@ def _head_sections(lvl, hw, ch):
         pass  # older checkout without fused_apply
 
 
-def _hot_op_sections(hw):
-    # isolated hot ops at level 2 (544x960 at the default 1088x1920)
+def _warp_sections(hw):
+    # isolated warp at level 2 (544x960 at the default 1088x1920)
     h, w = hw[1]
     f64a = rand((h, w, 64))
-    f64b = rand((h, w, 64))
     flow2 = rand((h, w, 2), jnp.float32)
     chain_time("backwarp_l2_64c", lambda a, fl: lfn.backwarp(a, fl * 10.0),
                (f64a, flow2))
-    # kernel='xla' REQUIRED: corr_xla is the backend dispatcher, which on
-    # TPU would silently route to the Pallas kernel and void the A/B
-    chain_time("corr_xla_l2_stride2",
-               lambda a, b: corr_xla(a, b, stride=2, kernel="xla"),
-               (f64a, f64b))
-    chain_time("corr_xla_l2_stride1",
-               lambda a, b: corr_xla(a, b, stride=1, kernel="xla"),
-               (f64a, f64b))
+
+
+def _corr_sections(hw):
+    h, w = hw[1]
+    f64a = rand((h, w, 64))
+    f64b = rand((h, w, 64))
+    # Pallas first: the kernel is tiled (short programs); the XLA 49-shift
+    # form is the worker-killer in a sick regime, so it goes last here
     try:
         from transflow_tpu.ops.pallas_correlation import (
             pallas_correlation7x7 as corr_pl)
@@ -228,7 +240,17 @@ def _hot_op_sections(hw):
                    lambda a, b: corr_pl(a, b, stride=1), (f64a, f64b))
     except Exception as exc:  # signature may differ; record it
         RESULTS["corr_pallas_error"] = repr(exc)
+    # kernel='xla' REQUIRED: corr_xla is the backend dispatcher, which on
+    # TPU would silently route to the Pallas kernel and void the A/B
+    chain_time("corr_xla_l2_stride2",
+               lambda a, b: corr_xla(a, b, stride=2, kernel="xla"),
+               (f64a, f64b))
+    chain_time("corr_xla_l2_stride1",
+               lambda a, b: corr_xla(a, b, stride=1, kernel="xla"),
+               (f64a, f64b))
 
+
+def _hot_op_sections(hw):
     # corr upsample at level 2: grouped deconv vs phase decomposition
     h2, w2 = hw[1]
     corr_half = rand((h2 // 2, w2 // 2, 49), jnp.float32)

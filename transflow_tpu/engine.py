@@ -287,6 +287,32 @@ class Engine:
         # donation lets XLA update the (H, W) buffers in place
         self._device_step = jax.jit(device_step, donate_argnums=(0,))
 
+        frame_numbers0 = tuple(
+            tuple(0 for _ in p.channel_counts) for p in layer_params)
+
+        def scan_step_tail(comp_state, key, raw, t, fno, chunk_k,
+                           const_pixmaps, params_list, pp_masks):
+            """The per-step compositor half shared by BOTH scan bodies
+            (frame-yielding and flow-yielding): the RNG split, pixmap
+            const/chunk merge, frame-number tree and device_step call —
+            the exact arithmetic the chunked==per-frame bit-equality
+            guarantee rests on lives only here."""
+            key, subkey = jax.random.split(key)
+            pixmaps = tuple(
+                tuple(const if chunk is None else chunk
+                      for const, chunk in zip(const_layer, chunk_layer))
+                for const_layer, chunk_layer
+                in zip(const_pixmaps, chunk_k))
+            frame_numbers = jax.tree.map(lambda _: fno, frame_numbers0)
+            comp_state, frame, flow = device_step(
+                comp_state, (raw,), t, pixmaps, subkey, frame_numbers,
+                params_list, pp_masks)
+            # export_flows is a static construction-time flag: flows are
+            # only stacked (K, H, W, 2 extra HBM + transfer) when a
+            # .flow.zip is actually being written
+            out = (frame, flow) if export_flows else (frame, ())
+            return comp_state, key, out
+
         def device_scan(comp_state, prev_gray, prev_flow, key, grays, ts,
                         const_pixmaps, pix_chunks, frame0, params_list,
                         pp_masks, est_params):
@@ -317,27 +343,14 @@ class Engine:
             def body(carry, inputs):
                 comp_state, prev_gray, prev_flow, key = carry
                 gray, t, fno, chunk_k = inputs
-                key, subkey = jax.random.split(key)
                 # weights as scan-program args, not trace constants
                 raw = estimator_step.fn(prev_gray, gray, prev_flow,
                                         est_params)
-                pixmaps = tuple(
-                    tuple(const if chunk is None else chunk
-                          for const, chunk in zip(const_layer, chunk_layer))
-                    for const_layer, chunk_layer
-                    in zip(const_pixmaps, chunk_k))
-                frame_numbers = jax.tree.map(lambda _: fno, frame_numbers0)
-                comp_state, frame, flow = device_step(
-                    comp_state, (raw,), t, pixmaps, subkey, frame_numbers,
+                comp_state, key, out = scan_step_tail(
+                    comp_state, key, raw, t, fno, chunk_k, const_pixmaps,
                     params_list, pp_masks)
-                # export_flows is a static construction-time flag: flows are
-                # only stacked (K, H, W, 2 extra HBM + transfer) when a
-                # .flow.zip is actually being written
-                out = (frame, flow) if export_flows else (frame, ())
                 return (comp_state, gray, raw, key), out
 
-            frame_numbers0 = tuple(
-                tuple(0 for _ in p.channel_counts) for p in layer_params)
             ((comp_state, prev_gray, prev_flow, key),
              (frames, flows)) = jax.lax.scan(
                 body, (comp_state, prev_gray, prev_flow, key),
@@ -360,21 +373,11 @@ class Engine:
             def body(carry, inputs):
                 comp_state, key = carry
                 raw, t, fno, chunk_k = inputs
-                key, subkey = jax.random.split(key)
-                pixmaps = tuple(
-                    tuple(const if chunk is None else chunk
-                          for const, chunk in zip(const_layer, chunk_layer))
-                    for const_layer, chunk_layer
-                    in zip(const_pixmaps, chunk_k))
-                frame_numbers = jax.tree.map(lambda _: fno, frame_numbers0)
-                comp_state, frame, flow = device_step(
-                    comp_state, (raw,), t, pixmaps, subkey, frame_numbers,
+                comp_state, key, out = scan_step_tail(
+                    comp_state, key, raw, t, fno, chunk_k, const_pixmaps,
                     params_list, pp_masks)
-                out = (frame, flow) if export_flows else (frame, ())
                 return (comp_state, key), out
 
-            frame_numbers0 = tuple(
-                tuple(0 for _ in p.channel_counts) for p in layer_params)
             ((comp_state, key), (frames, flows)) = jax.lax.scan(
                 body, (comp_state, key),
                 (raw_flows, ts, frame_nos, pix_chunks))

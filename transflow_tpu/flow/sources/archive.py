@@ -173,7 +173,7 @@ class ArchiveFlowSource(FlowSource):
             return FlowItem(FlowItem.FLOW, flow.astype(np.float32))
         # drop entries a seek/rewind left behind (stale indexes would pin
         # decoded frames for the rest of the run)
-        window = range(index, index + LOOKAHEAD)
+        window = self._upcoming(index)
         for stale in [i for i in self._pending if i not in window]:
             self._pending.pop(stale).cancel()
         for ahead in window:
@@ -184,9 +184,28 @@ class ArchiveFlowSource(FlowSource):
         flow = self._pending.pop(index).result()
         return FlowItem(FlowItem.FLOW, flow.astype(np.float32))
 
+    def _upcoming(self, index: int) -> set[int]:
+        """The next LOOKAHEAD frame indexes the reader will actually
+        request: clamped at end_frame (a --duration cut must not decode
+        past it) and wrapped to start_frame when the source repeats, so
+        the pipeline stays warm across rewinds. On the final lap the
+        wrap over-decodes at most LOOKAHEAD-1 frames, once."""
+        out = set()
+        i = index
+        for _ in range(LOOKAHEAD):
+            if i >= self.end_frame:
+                if self.repeat == 1 or self.start_frame >= self.end_frame:
+                    break
+                i = self.start_frame
+            out.add(i)
+            i += 1
+        return out
+
     def _close_reader(self):
         if self._pool is not None:
-            self._pool.shutdown(wait=False, cancel_futures=True)
+            # wait=True: a running inflate (~250 ms at 1080p) must finish
+            # before its per-thread zip handle is closed underneath it
+            self._pool.shutdown(wait=True, cancel_futures=True)
             self._pool = None
         self._pending.clear()
         with self._handles_lock:

@@ -7,6 +7,7 @@ reference's pickled object graph (pickle-free by design, SURVEY §5).
 import io
 import json
 import zipfile
+import zlib
 
 import numpy as np
 
@@ -25,20 +26,27 @@ class ZipOutput:
         self.zipfile.writestr("meta.json", json.dumps(meta))
 
     def write_array(self, name: str, array: np.ndarray):
-        """Per-dtype compression: float mantissas are near-incompressible
-        (deflate gains ~8% on real f32 flows while costing ~4x the write
-        and ~6x the read throughput — measured 1080p: stored 2.7/26.7
-        fps write/read vs deflated 0.7/4.1), so float arrays go in
-        STORED; integer arrays (e.g. ``--round-flow`` exports) deflate
-        33x and stay DEFLATED. Both are standard zip members — every
-        reader (ours and the reference's) handles either transparently."""
+        """Adaptive compression: dense float mantissas are near-
+        incompressible (deflate gains ~8% on real f32 flows while costing
+        ~4x the write and ~6x the read throughput — measured 1080p:
+        stored 2.7/26.7 fps write/read vs deflated 0.7/4.1), but NOT all
+        float members are dense — a motion-vector export of static
+        footage yields exact-zero flows that deflate ~1000x. A 64 KiB
+        level-1 probe decides per member: <50% ratio -> DEFLATED, else
+        STORED (float only; integer arrays, e.g. ``--round-flow``
+        exports, always deflate — 33x measured). Both are standard zip
+        members — every reader (ours and the reference's) handles either
+        transparently."""
         array = np.asarray(array)
         buffer = io.BytesIO()
         np.save(buffer, array)
-        compress = (zipfile.ZIP_STORED if array.dtype.kind == "f"
-                    else zipfile.ZIP_DEFLATED)
-        self.zipfile.writestr(name, buffer.getvalue(),
-                              compress_type=compress)
+        payload = buffer.getvalue()
+        compress = zipfile.ZIP_DEFLATED
+        if array.dtype.kind == "f":
+            probe = payload[:65536]
+            if len(zlib.compress(probe, 1)) >= len(probe) // 2:
+                compress = zipfile.ZIP_STORED
+        self.zipfile.writestr(name, payload, compress_type=compress)
 
     def write_arrays(self, name: str, arrays: dict):
         """Store a dict of arrays as one .npz member."""

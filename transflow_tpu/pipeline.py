@@ -16,6 +16,7 @@ orchestrator). Architectural mapping (SURVEY §2.3):
   (pickle-free), same .ckpt.zip resume semantics.
 """
 import dataclasses
+import itertools
 import json
 import logging
 import logging.config
@@ -60,19 +61,19 @@ class _SourceThread(threading.Thread):
         self.iterator = iterator
         self.queue: queue.Queue = queue.Queue(maxsize=maxsize)
         self.error: Exception | None = None
-        self._stop = threading.Event()
+        self._stop_event = threading.Event()
 
     def run(self):
         try:
             for item in self.iterator:
-                if self._stop.is_set():
+                if self._stop_event.is_set():
                     return
                 while True:
                     try:
                         self.queue.put(item, timeout=0.2)
                         break
                     except queue.Full:
-                        if self._stop.is_set():
+                        if self._stop_event.is_set():
                             return
         except Exception as err:  # noqa: BLE001 — reported to the main loop
             self.error = err
@@ -104,7 +105,7 @@ class _SourceThread(threading.Thread):
         return item
 
     def stop(self):
-        self._stop.set()
+        self._stop_event.set()
 
 
 class _OutputThread(threading.Thread):
@@ -881,10 +882,30 @@ class Pipeline:
                 window.close()
             except Exception:  # noqa: BLE001
                 logger.exception("Window close failed")
-        for source in self.flow_sources:
+        # join each decode thread BEFORE closing its source: a thread
+        # still inside _read_item when the zip handles / mmap / prefetch
+        # pool are torn down surfaces a spurious 'Source thread failed'
+        # on an otherwise-successful run (decode threads poll the stop
+        # event every 0.2 s, so the join is quick; a thread wedged in a
+        # long read keeps its source open rather than racing the close)
+        def _close_after(thread, source):
+            if thread is not None:
+                thread.join(timeout=10)
+                if thread.is_alive():
+                    logger.warning("%s thread still running at close; "
+                                   "leaving its source open", thread.name)
+                    return
             source.close()
-        for source in self.pixmap_sources:
-            source.close()
+        # zip_longest: an early _setup failure leaves sources without
+        # threads — they must still close
+        for thread, source in itertools.zip_longest(self.flow_threads,
+                                                    self.flow_sources):
+            if source is not None:
+                _close_after(thread, source)
+        for thread, source in itertools.zip_longest(self.pixmap_threads,
+                                                    self.pixmap_sources):
+            if source is not None:
+                _close_after(thread, source)
         if self.flow_output is not None:
             self.flow_output.close()
 
