@@ -160,6 +160,39 @@ class TestArchiveFlowSource:
         for a, b in zip(seq, pooled):
             assert np.array_equal(a, b)
 
+    def test_clean_shutdown_with_pool_mid_stream(self, tmp_path,
+                                                 monkeypatch):
+        """Closing a pooled archive source while frames remain (a
+        --duration cut) must not surface a spurious decode error:
+        pipeline._close joins the decode thread before tearing down the
+        zip handles / prefetch pool (regression: 'seek of closed file'
+        / CancelledError at shutdown)."""
+        import cv2
+        from transflow_tpu.config import Config, PixmapSourceConfig
+        from transflow_tpu.pipeline import Pipeline
+        monkeypatch.setenv("TRANSFLOW_ARCHIVE_THREADS", "4")
+        path = str(tmp_path / "d.flow.zip")
+        out = NumpyArchiveOutput(path, {"direction": 0, "width": 64,
+                                        "height": 48, "framerate": 10.0},
+                                 replace=True)
+        rng = np.random.default_rng(5)
+        for _ in range(20):
+            out.write_array(rng.integers(-4, 4, (48, 64, 2),
+                                         dtype=np.int16))
+        out.close()
+        dst = str(tmp_path / "o.avi")
+        cfg = Config(path, output_path=dst, vcodec="mjpeg",
+                     pixmap_sources=[PixmapSourceConfig("noise")],
+                     duration_time=0.5, seed=1)  # 5 of 20 frames
+        pipeline = Pipeline(cfg, progress=False, execute=False,
+                            replace=True, export_config=False)
+        pipeline.run()
+        for thread in pipeline.flow_threads:
+            assert thread.error is None
+            assert not thread.is_alive()
+        cap = cv2.VideoCapture(dst)
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5
+
     def test_mmap_stored_path_bit_identical(self, flow_archive,
                                             monkeypatch):
         """Float members are STORED and served as zero-copy mmap views;
