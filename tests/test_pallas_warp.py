@@ -101,79 +101,6 @@ class TestBoundedBackwarp:
         assert not np.allclose(np.asarray(via_api), np.asarray(exact))
 
 
-class TestMxuBackwarp:
-    """MXU selection-matrix variant: exact in x, y clamped to [-K, K]."""
-
-    @pytest.mark.parametrize("bound", [3, 8])
-    @pytest.mark.parametrize("shape", [(24, 40, 16), (37, 130, 24)])
-    def test_exact_within_y_bound(self, bound, shape):
-        from transflow_tpu.ops.pallas_warp import mxu_backwarp
-        image = _rand(shape, seed=bound)
-        rng = np.random.default_rng(bound + 100)
-        h, w = shape[:2]
-        # y within the bound; x UNBOUNDED (up to 1.5x the width) — the
-        # selection matrix handles any horizontal displacement exactly
-        flow = jnp.asarray(np.stack([
-            1.5 * w * (2 * rng.random((h, w)) - 1),
-            bound * (2 * rng.random((h, w)) - 1)], -1).astype(np.float32))
-        want = backwarp(image, flow)
-        got = mxu_backwarp(image, flow, bound, interpret=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=2e-2)
-
-    def test_integer_flow_is_bitexact_in_bf16_range(self):
-        from transflow_tpu.ops.pallas_warp import mxu_backwarp
-        image = jnp.asarray(
-            np.random.default_rng(0)
-            .integers(-64, 64, size=(16, 32, 16)).astype(np.float32))
-        flow = jnp.asarray(np.random.default_rng(1)
-                           .integers(-3, 4, size=(16, 32, 2))
-                           .astype(np.float32))
-        want = backwarp(image, flow)
-        got = mxu_backwarp(image, flow, 4, interpret=True)
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-
-    def test_out_of_frame_taps_read_zero(self):
-        from transflow_tpu.ops.pallas_warp import mxu_backwarp
-        image = jnp.ones((16, 32, 16), jnp.float32)
-        flow = jnp.full((16, 32, 2), -2.5, jnp.float32)
-        want = backwarp(image, flow)
-        got = mxu_backwarp(image, flow, 4, interpret=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=2e-2)
-        assert np.all(np.asarray(got)[:, :1] == 0)
-
-    def test_pair_fully_left_of_frame_zeros_both_taps(self):
-        """A fractional x landing below -1 must not alias its +1 tap onto
-        column 0 (regression: the lower clip must leave the one-hot
-        unmatched, not clamp onto the left zero column)."""
-        from transflow_tpu.ops.pallas_warp import mxu_backwarp
-        image = jnp.ones((16, 32, 16), jnp.float32)
-        flow = jnp.zeros((16, 32, 2), jnp.float32)
-        flow = flow.at[..., 0].set(-3.5)  # x0 = col-4, x0+1 = col-3
-        got = np.asarray(mxu_backwarp(image, flow, 2, interpret=True))
-        assert np.all(got[:, :3] == 0)
-
-    def test_beyond_y_bound_clamps_floor_keeps_fraction(self):
-        from transflow_tpu.ops.pallas_warp import mxu_backwarp
-        bound = 3
-        image = _rand((24, 48, 16), seed=7)
-        rng = np.random.default_rng(8)
-        fy = (12 * rng.standard_normal((24, 48))).astype(np.float32)
-        fx = (20 * rng.standard_normal((24, 48))).astype(np.float32)
-        flow = jnp.asarray(np.stack([fx, fy], -1))
-        # reference: clamp ONLY the y floor (x is exact in this variant)
-        floor_y = jnp.floor(flow[..., 1])
-        ref_flow = jnp.stack(
-            [flow[..., 0],
-             jnp.clip(floor_y, -bound, bound) + (flow[..., 1] - floor_y)],
-            axis=-1)
-        want = backwarp(image, ref_flow)
-        got = mxu_backwarp(image, flow, bound, interpret=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=2e-2)
-
-
 class TestWarpBoundEnv:
 
     def test_unset_means_exact(self, monkeypatch):
@@ -234,29 +161,6 @@ class TestConfigSurface:
         lfn.liteflownet(img, img, allow_random=True)
         assert calls == []                  # default stays exact
 
-    def test_warp_kernel_env_selects_mxu(self, monkeypatch):
-        """TRANSFLOW_LITEFLOWNET_WARP_KERNEL=mxu routes bounded warps to
-        the selection-matrix kernel instead of the 2-D select kernel."""
-        import transflow_tpu.ops.pallas_warp as pw
-        from transflow_tpu.flow.estimators.liteflownet import backwarp
-        mxu_calls, sel_calls = [], []
-        orig_mxu, orig_sel = pw.mxu_backwarp, pw.bounded_backwarp
-        monkeypatch.setattr(pw, "mxu_backwarp",
-                            lambda *a, **k: (mxu_calls.append(a[2]),
-                                             orig_mxu(*a, **k))[1])
-        monkeypatch.setattr(pw, "bounded_backwarp",
-                            lambda *a, **k: (sel_calls.append(a[2]),
-                                             orig_sel(*a, **k))[1])
-        img = jnp.ones((16, 32, 16), jnp.float32)
-        flow = jnp.zeros((16, 32, 2), jnp.float32)
-        monkeypatch.setenv("TRANSFLOW_LITEFLOWNET_WARP_KERNEL", "mxu")
-        backwarp(img, flow, bound=4)
-        assert mxu_calls == [4] and sel_calls == []
-        monkeypatch.delenv("TRANSFLOW_LITEFLOWNET_WARP_KERNEL")
-        backwarp(img, flow, bound=4)
-        assert mxu_calls == [4] and sel_calls == [4]
-
-
 class TestReviewFixes:
     """Round-3 self-review findings: negative bounds refuse, env kernel
     selection is honored across calls (jit static key), and --mesh runs
@@ -275,26 +179,34 @@ class TestReviewFixes:
         with pytest.raises(ValueError, match="WARP_BOUND"):
             _warp_bound(2)
 
-    def test_env_kernel_change_recompiles(self, monkeypatch):
-        """Setting TRANSFLOW_LITEFLOWNET_WARP_KERNEL after a first call
+    def test_env_bound_change_recompiles(self, monkeypatch):
+        """Setting TRANSFLOW_LITEFLOWNET_WARP_BOUND after a first call
         must reach the kernel on the next call — the env is resolved
         eagerly into _run's static key, not baked at first trace."""
         import transflow_tpu.ops.pallas_warp as pw
         from transflow_tpu.flow.estimators import liteflownet as lfn
         calls = []
-        orig = pw.mxu_backwarp
+        orig = pw.bounded_backwarp
         monkeypatch.setattr(
-            pw, "mxu_backwarp",
+            pw, "bounded_backwarp",
             lambda *a, **k: (calls.append(a[2]), orig(*a, **k))[1])
-        monkeypatch.setenv("TRANSFLOW_LITEFLOWNET_WARP_BOUND", "8")
-        monkeypatch.delenv("TRANSFLOW_LITEFLOWNET_WARP_KERNEL",
+        monkeypatch.delenv("TRANSFLOW_LITEFLOWNET_WARP_BOUND",
                            raising=False)
         img = np.zeros((64, 96), np.uint8)
         lfn.liteflownet(img, img, allow_random=True)
-        assert calls == []                      # select kernel (default)
-        monkeypatch.setenv("TRANSFLOW_LITEFLOWNET_WARP_KERNEL", "mxu")
+        assert calls == []                      # exact gather (default)
+        monkeypatch.setenv("TRANSFLOW_LITEFLOWNET_WARP_BOUND", "8")
         lfn.liteflownet(img, img, allow_random=True)
-        assert calls and max(calls) == 8        # mxu now reached
+        assert calls and max(calls) == 8        # bounded kernel reached
+
+    def test_unknown_warp_kernel_rejected(self, monkeypatch):
+        """'mxu' (deleted round 4: never compiled on the real Mosaic
+        toolchain) and any other unknown kernel name must fail fast."""
+        from transflow_tpu.flow.estimators.liteflownet import backwarp
+        img = jnp.ones((16, 32, 16), jnp.float32)
+        flow = jnp.zeros((16, 32, 2), jnp.float32)
+        with pytest.raises(ValueError, match="mxu"):
+            backwarp(img, flow, bound=4, kernel="mxu")
 
     def test_mesh_selects_sharded_pallas_correlation(self):
         from transflow_tpu.engine import mesh_safe_estimator_kwargs

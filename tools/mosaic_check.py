@@ -1,9 +1,13 @@
 """Real-Mosaic validation of the Pallas kernels (healthy-window queue).
 
 Interpret-mode tests prove the math; this proves the actual TPU lowering:
-the MXU selection-matrix warp, the correlation band kernel, and the
+the bounded select warp, the correlation band kernel, and the
 shard_map'd sharded correlation (1-device 'space' mesh — same Mosaic
 kernel + the ppermute/manual-SPMD plumbing the --mesh path uses).
+(The MXU selection-matrix warp this script once checked was deleted in
+round 4: the real Mosaic toolchain rejected its row reshape — this
+script's check was how that would have been caught in a healthy
+window.)
 TRANSFLOW_PLATFORM=cpu smoke-tests the script logic in interpret mode.
 """
 import os
@@ -24,7 +28,7 @@ from transflow_tpu.flow.estimators.liteflownet import backwarp  # noqa: E402
 from transflow_tpu.ops.correlation import correlation7x7  # noqa: E402
 from transflow_tpu.ops.pallas_correlation import (  # noqa: E402
     pallas_correlation7x7, sharded_pallas_correlation7x7)
-from transflow_tpu.ops.pallas_warp import mxu_backwarp  # noqa: E402
+from transflow_tpu.ops.pallas_warp import bounded_backwarp  # noqa: E402
 
 INTERPRET = jax.default_backend() == "cpu"
 rng = np.random.default_rng(0)
@@ -34,10 +38,10 @@ yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
 flow = jnp.asarray(np.stack([5.0 * np.sin(xx / 17), 3.0 * np.cos(yy / 9)],
                             -1).astype(np.float32))
 t0 = time.time()
-got = np.asarray(mxu_backwarp(img, flow, 4, interpret=INTERPRET))
-print("mxu warp compile+run:", round(time.time() - t0, 1), "s", flush=True)
+got = np.asarray(bounded_backwarp(img, flow, 8, interpret=INTERPRET))
+print("select warp compile+run:", round(time.time() - t0, 1), "s", flush=True)
 want = np.asarray(backwarp(img.astype(jnp.bfloat16), flow))
-print("mxu warp max|err| vs exact:", float(np.abs(got - want).max()),
+print("select warp max|err| vs exact:", float(np.abs(got - want).max()),
       flush=True)
 
 f1 = jnp.asarray(rng.standard_normal((64, 48, 16)).astype(np.float32))

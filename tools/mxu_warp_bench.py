@@ -1,4 +1,8 @@
-"""Chained A/B: XLA gather vs select-kernel vs MXU kernel at level-2 shape.
+"""Chained A/B: XLA gather vs the bounded select kernel at level-2 shape.
+
+(The MXU selection-matrix variant this file was named for was deleted in
+round 4 — the real Mosaic toolchain rejects its row reshape at every
+dtype; the filename stays for healthy_window_queue.sh compatibility.)
 
 24-deep data-dependent chains in one program, value readback, minus base.
 Usage: timeout 1800 python tools/mxu_warp_bench.py [N]
@@ -17,8 +21,7 @@ import jax.numpy as jnp
 import os as _os_
 sys.path.insert(0, _os_.path.dirname(_os_.path.dirname(_os_.path.abspath(__file__))))
 from transflow_tpu.flow.estimators.liteflownet import backwarp  # noqa: E402
-from transflow_tpu.ops.pallas_warp import (  # noqa: E402
-    bounded_backwarp, mxu_backwarp)
+from transflow_tpu.ops.pallas_warp import bounded_backwarp  # noqa: E402
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 24
 H, W, C = 544, 960, 64
@@ -76,9 +79,7 @@ print(f"base chain: {b*1e3:.2f} ms/op", flush=True)
 for name, f in fields.items():
     flow = jnp.asarray(f.astype(np.float32))
     t_g = chain(lambda a, fl: backwarp(a, fl), img, flow) - b
-    t_m = chain(lambda a, fl: mxu_backwarp(a, fl, K, interpret=interp),
-                img, flow) - b
     t_s = chain(lambda a, fl: bounded_backwarp(a, fl, K, interpret=interp),
                 img, flow) - b
-    print(f"{name:8s} gather={t_g*1e3:7.2f}  mxu={t_m*1e3:7.2f}  "
-          f"select={t_s*1e3:7.2f} ms/op", flush=True)
+    print(f"{name:8s} gather={t_g*1e3:7.2f}  select={t_s*1e3:7.2f} ms/op  "
+          f"ratio={t_g/max(t_s,1e-9):.2f}x", flush=True)

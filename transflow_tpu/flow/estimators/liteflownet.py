@@ -140,27 +140,25 @@ def backwarp(image, flow, bound: int | None = None,
     TRANSFLOW_LITEFLOWNET_WARP_BOUND (see _warp_bound); default None =
     exact."""
     if bound is not None and image.shape[-1] >= 16:
-        # ``kernel`` selects the bounded kernel: 'select' (default) = 2-D
-        # tiled in-VMEM selects (dx AND dy bounded); 'mxu' = selection-
-        # matrix matmul variant (exact in x, dy bounded) — see
-        # ops/pallas_warp.py for the measured tradeoff. None falls back to
+        # the bounded select kernel (2-D tiled in-VMEM selects, dx AND dy
+        # bounded) — opt-in for pan-dominated content, see the measured
+        # verdict in ops/pallas_warp.py. ``kernel`` falls back to
         # TRANSFLOW_LITEFLOWNET_WARP_KERNEL, read here AT TRACE TIME: the
         # liteflownet() entry resolves it eagerly and passes it as a jit
-        # static argument so env changes between calls are honored.
+        # static argument so env changes between calls are honored. The
+        # round-3 'mxu' variant was deleted in round 4 (the real Mosaic
+        # toolchain rejects its row reshape; interpret-mode only).
         if kernel is None:
             kernel = os.environ.get("TRANSFLOW_LITEFLOWNET_WARP_KERNEL")
         kernel = kernel or "select"
-        if kernel not in ("select", "mxu"):
+        if kernel != "select":
             raise ValueError(
-                f"warp kernel must be 'select' or 'mxu', got {kernel!r}")
-        interpret = jax.default_backend() == "cpu"
-        if kernel == "mxu":
-            from ...ops.pallas_warp import mxu_backwarp
-            return mxu_backwarp(image, flow, int(bound),
-                                interpret=interpret)
+                f"warp kernel must be 'select', got {kernel!r} "
+                "(the 'mxu' variant was removed: it never compiled on "
+                "the real TPU toolchain)")
         from ...ops.pallas_warp import bounded_backwarp
         return bounded_backwarp(image, flow, int(bound),
-                                interpret=interpret)
+                                interpret=jax.default_backend() == "cpu")
     h, w = image.shape[-3], image.shape[-2]
     c = image.shape[-1]
     zrow = jnp.zeros((1, w, c), image.dtype)
@@ -455,7 +453,7 @@ class LiteFlowNet(nn.Module):
 
     ``warp_bound``: level-2 displacement bound for the Pallas backwarp
     (see _warp_bound); None falls back to the env var, 0 disables.
-    ``warp_kernel``: 'select' | 'mxu' bounded-kernel variant (see
+    ``warp_kernel``: 'select' (the only bounded-kernel variant; see
     backwarp); ``corr_kernel``: 'xla' | 'pallas' | 'pallas_halo'
     correlation override (ops/correlation.py) — under GSPMD sharding use
     'pallas_halo' with ``corr_mesh`` set (shard_map + halo exchange; the
