@@ -75,6 +75,17 @@ MIN_BYTES_PER_FRAME = 2 * (2 * 2 * HEIGHT * WIDTH) + 4 * HEIGHT * WIDTH
 CEILING_FPS = HBM_GBPS * 1e9 / MIN_BYTES_PER_FRAME  # ~32.9k fps
 
 CHUNK = 16             # frames per device dispatch (lax.scan)
+
+#: attached to every refusal record (incl. watchdog/sentinel emergency
+#: exits): a refusal is the driver's only artifact in a sick round — it
+#: must point at the evidence that does exist
+IN_REGIME_EVIDENCE = (
+    "bench_attempts/round4/NOTES.md — the sick regime executes genuinely "
+    "(ratios carry): byte-packed movement gather 7.9x over split; bf16 "
+    "warp taps 1.5x over f32; slope quantum tracked the binary 579 -> "
+    "526 -> 342 ms/frame (r2=1.0) across the round-4 reformulations; LFN "
+    "per-module profile at 544x960 "
+    "(lfn_profile_544x960_inregime_1607.json)")
 CHUNKS_PER_SAMPLE = 32  # chained dispatches per timed sample (~5 ms device)
 GRAY_SETS = 4          # distinct input chunks rotated across dispatches
 REPEATS = 15           # median-of-N steady-state samples
@@ -871,6 +882,8 @@ while True:
             "error": "%s (phase: %s); no measurement possible"
                      % (reason, phase),
             "last_healthy_record": last,
+            "in_regime_evidence": "see bench_attempts/round4/NOTES.md "
+                                  "(in-regime ratio evidence)",
         }
     print(json.dumps(record), flush=True)
     try:
@@ -949,6 +962,7 @@ while True:
             "error": f"{reason} (phase: {self.phase}); no measurement "
                      "possible",
             "last_healthy_record": load_last_healthy(sidecar),
+            "in_regime_evidence": IN_REGIME_EVIDENCE,
         }), flush=True)
         os._exit(0)
 
@@ -1120,14 +1134,7 @@ def main():
                                   "pre-round-4 28k-101k records were "
                                   "barrier-defeat artifacts)"),
             "last_healthy_record": load_last_healthy(healthy_path),
-            "in_regime_evidence": (
-                "bench_attempts/round4/NOTES.md — the sick regime "
-                "executes genuinely (ratios carry): byte-packed movement "
-                "gather 7.9x over split; bf16 warp taps 1.5x over f32; "
-                "slope quantum tracked the binary 579 -> 526 -> 342 "
-                "ms/frame (r2=1.0) across the round-4 reformulations; "
-                "LFN per-module profile at 544x960 "
-                "(lfn_profile_544x960_inregime_1607.json)"),
+            "in_regime_evidence": IN_REGIME_EVIDENCE,
         }
         if slope is not None:
             # the slope probe's verdict distinguishes readback-only damage
