@@ -143,7 +143,21 @@ def _steady_state(region, repeats=REPEATS, stats=False, budget_s=150.0):
     return median, float(samples[0]), 100.0 * iqr / median
 
 
-def _wait_for_healthy_tunnel(max_wait_s: float | None = None) -> float:
+def _phase_budget(watchdog, default_s: float, reserve_s: float) -> float:
+    """Budget for the next phase: the phase constant, clamped so at least
+    ``reserve_s`` of the total deadline remains when it ends. This is what
+    makes the phase chain PROVABLY sum under the total budget (round-4
+    postmortem: fixed constants — 1200 s wait + 600 s gate + retry +
+    slope — composed to more than the driver allowed, and the one record
+    the driver keeps per round was rc=124 with empty stdout). A budget
+    that clamps to <= 10 s means the phase should be skipped."""
+    if watchdog is None:
+        return default_s
+    return min(default_s, watchdog.remaining_s() - reserve_s)
+
+
+def _wait_for_healthy_tunnel(max_wait_s: float | None = None,
+                             watchdog=None) -> float:
     """The device tunnel oscillates between ~0.2 ms and ~2 min per round
     trip (observed). Pay the per-process handshake, then poll a tiny
     readback until the RTT normalizes (or the grace period runs out), so a
@@ -151,14 +165,18 @@ def _wait_for_healthy_tunnel(max_wait_s: float | None = None) -> float:
     the last observed RTT in seconds.
 
     Healthy windows have been observed minutes apart inside hours-long
-    sick stretches, so the default grace period is generous (20 min,
-    TRANSFLOW_BENCH_TUNNEL_WAIT to override); the poll returns the
-    moment a healthy RTT appears. The watchdog is deliberately NOT
-    re-armed during the wait: a probe that hangs outright is exactly
-    what it must catch."""
+    sick stretches, so the default grace period is generous (10 min,
+    TRANSFLOW_BENCH_TUNNEL_WAIT to override), but always clamped so the
+    phases after it still fit under the total deadline. Each COMPLETED
+    probe re-arms the watchdog (a slow-but-returning probe is progress);
+    a probe that hangs outright stops the re-arms and the no-progress
+    timer fires — exactly what it must catch."""
     if max_wait_s is None:
         max_wait_s = float(os.environ.get(
-            "TRANSFLOW_BENCH_TUNNEL_WAIT", "1200"))
+            "TRANSFLOW_BENCH_TUNNEL_WAIT", "600"))
+    # reserve: compile+gate+regions+record need ~700 s after the wait
+    max_wait_s = max(30.0, min(
+        max_wait_s, _phase_budget(watchdog, max_wait_s, 700.0)))
     import jax.numpy as jnp
     deadline = time.monotonic() + max_wait_s
     # first RPC carries the connection-establishment penalty; not an RTT
@@ -170,6 +188,8 @@ def _wait_for_healthy_tunnel(max_wait_s: float | None = None) -> float:
         float(jnp.sum(jnp.ones((128, 128))
                       * np.float32(time.perf_counter() % 997.0)))
         rtt = time.perf_counter() - start
+        if watchdog is not None:
+            watchdog.rearm("tunnel-wait")
         # healthy tunnel: ~0.04 s; the quantized sick regime idles small
         # probes at ~1.2 s and previously slipped under a 2 s bar
         if rtt < 0.25 or time.monotonic() > deadline:
@@ -250,7 +270,7 @@ def bench_tpu(watchdog=None) -> dict:
         if watchdog is not None:
             watchdog.rearm(phase)
 
-    tunnel_rtt = (_wait_for_healthy_tunnel()
+    tunnel_rtt = (_wait_for_healthy_tunnel(watchdog=watchdog)
                   if jax.default_backend() != "cpu" else 0.0)
     progress("compile")
 
@@ -292,9 +312,12 @@ def bench_tpu(watchdog=None) -> dict:
     progress("chunk-gate")
     # overridable: a supervising capture loop that has ALREADY probed the
     # regime can shorten the gate so refused attempts return to polling
-    # fast instead of burning the full grace period per attempt
-    gate_deadline = time.monotonic() + float(
-        os.environ.get("TRANSFLOW_BENCH_CHUNK_GATE", "600"))
+    # fast instead of burning the full grace period per attempt. Clamped
+    # so the regions/slope after it still fit under the total deadline.
+    gate_deadline = time.monotonic() + max(30.0, _phase_budget(
+        watchdog,
+        float(os.environ.get("TRANSFLOW_BENCH_CHUNK_GATE", "240")),
+        420.0))
     chunk_no = [1000]
     while True:
         start = time.perf_counter()
@@ -372,7 +395,15 @@ def bench_tpu(watchdog=None) -> dict:
         return time.perf_counter() - start
 
     frames_per_sample = CHUNK * CHUNKS_PER_SAMPLE
-    elapsed, best_elapsed, iqr_pct = _steady_state(sample, stats=True)
+
+    def region_budget():
+        # three timed regions share what remains above the record-printing
+        # reserve (240 s); in a healthy window the 150 s cap never binds
+        return min(150.0, max(
+            45.0, _phase_budget(watchdog, 150.0, 240.0)))
+
+    elapsed, best_elapsed, iqr_pct = _steady_state(
+        sample, stats=True, budget_s=region_budget())
     fps = frames_per_sample / elapsed
     best_fps = frames_per_sample / best_elapsed
     ms_per_frame = 1000.0 * elapsed / frames_per_sample
@@ -411,7 +442,9 @@ def bench_tpu(watchdog=None) -> dict:
         est_holder["pf"] = pf
         return time.perf_counter() - start
 
-    est_ms = 1000.0 * _steady_state(est_region, repeats=3) / CHUNKS_PER_SAMPLE
+    est_ms = 1000.0 * _steady_state(
+        est_region, repeats=3,
+        budget_s=region_budget()) / CHUNKS_PER_SAMPLE
     progress("stage-compositor")
 
     frame_numbers = model.default_frame_numbers()
@@ -450,7 +483,9 @@ def bench_tpu(watchdog=None) -> dict:
         comp_holder["comp"] = comp
         return time.perf_counter() - start
 
-    comp_ms = 1000.0 * _steady_state(comp_region, repeats=3) / CHUNKS_PER_SAMPLE
+    comp_ms = 1000.0 * _steady_state(
+        comp_region, repeats=3,
+        budget_s=region_budget()) / CHUNKS_PER_SAMPLE
 
     unhealthy_reasons = health_verdict(tunnel_rtt, chunk_rtt, fps,
                                        ms_per_frame, est_ms, comp_ms)
@@ -517,9 +552,11 @@ def slope_fit(ns, ts) -> dict:
         # a regime that cannot sustain 320 fps marginal cost is not
         # measuring the device. Physical ceiling: the mapping-pair HBM
         # round trip + frame IO cap genuine throughput at CEILING_FPS
-        # (~19.7k on the v5e — see module constants / docs/PERF.md); a
-        # slope implying beyond that is an artifact (e.g. the whole
-        # ladder landed inside one poll cycle), not a measurement.
+        # (~32.9k on the v5e with the int16-compacted mapping — the ONE
+        # authoritative number, derived from MIN_BYTES_PER_FRAME above;
+        # the pre-compaction int32 figure was ~19.7k, BASELINE.md keeps
+        # the history); a slope implying beyond that is an artifact
+        # (e.g. the whole ladder landed inside one poll cycle).
         if fps < 320.0:
             verdict = "poll-serialized"
         elif fps <= CEILING_FPS:
@@ -775,28 +812,26 @@ class _Watchdog:
     upload/readback is uninterruptible from this thread). Emit a parseable
     error line and exit instead of hanging the driver forever.
 
-    The deadline measures time WITHOUT PROGRESS, not total wall time:
-    each completed phase (tunnel wait, compile, chunk gate, each timed
-    region) re-arms the timer. The bench's own grace periods — 1200 s
-    tunnel wait + 600 s chunk gate + three 150 s region budgets, each of
-    which can legitimately run long in the degraded regimes the gates were
-    built for — therefore never sum against one deadline and an honest-slow
-    run is not misreported as an outage (advisor round 2)."""
+    The no-progress deadline measures time WITHOUT PROGRESS; each
+    completed phase (tunnel wait, compile, chunk gate, each timed region)
+    re-arms it. The TOTAL deadline is absolute from process start and is
+    the number every phase budget composes under (``_phase_budget``):
+    round-4 postmortem — fixed phase constants summed past the driver's
+    window and BENCH_r04.json was rc=124/parsed=null, forfeiting the one
+    artifact the driver keeps per round. Defaults are now 1500 s total /
+    600 s no-progress; the record-printing ladder is
+    in-process total timer (total − 90) → sentinel process (total − 30)
+    → any external kill (total or later), so a parseable record ALWAYS
+    lands first."""
 
     def __init__(self):
         import threading
         self._threading = threading
-        self.deadline = float(
-            os.environ.get("TRANSFLOW_BENCH_DEADLINE", "2400"))
-        # Absolute cap from process start. The per-phase timer alone is
-        # unbounded: in the quantized sick regime every ~296 s chunk
-        # completes, so phases keep "progressing" and an external kill
-        # (driver timeout) can land before any record is printed —
-        # observed: a 90 min --e2e run through the poll-cycle regime died
-        # to its outer timeout with EMPTY stdout. A record must always
-        # beat the kill.
         self.total_deadline = float(
-            os.environ.get("TRANSFLOW_BENCH_TOTAL_DEADLINE", "3300"))
+            os.environ.get("TRANSFLOW_BENCH_TOTAL_DEADLINE", "1500"))
+        self.deadline = min(
+            float(os.environ.get("TRANSFLOW_BENCH_DEADLINE", "600")),
+            self.total_deadline)
         self.phase = "startup"
         self._timer = None
         self._start = time.monotonic()
@@ -804,8 +839,12 @@ class _Watchdog:
         # extras_truncated note) if a deadline fires later — optional
         # stages and retries must never erase a record that already exists.
         self._pending_record = None
+        # fire BEFORE the sentinel (total − 90 vs total − 30) so the
+        # richer in-process record wins whenever the GIL is available
+        total_fire_s = self.total_deadline - min(
+            90.0, 0.25 * self.total_deadline)
         self._total_timer = self._threading.Timer(
-            self.total_deadline, self._fire,
+            total_fire_s, self._fire,
             kwargs={"reason": f"total bench budget "
                     f"({self.total_deadline:.0f}s) exhausted without a "
                     "completed measurement"})
@@ -820,9 +859,12 @@ class _Watchdog:
     # observed: a degraded --e2e attempt ran 75 min past both deadlines and
     # was killed by its outer `timeout` with EMPTY stdout. The sentinel is
     # a separate PROCESS sharing this one's stdout: it watches a heartbeat
-    # file the main process touches on every rearm, and when either
-    # deadline (plus a 45 s grace so the in-process timers win whenever
-    # they can run) lapses it prints the record itself and SIGKILLs us.
+    # file the main process touches on every rearm. It prints and
+    # SIGKILLs when the heartbeat is stale past the no-progress deadline
+    # plus a 45 s grace (in-process timers win whenever they can run), or
+    # ABSOLUTELY at total_deadline − 30 s — BEFORE any external kill at
+    # total_deadline, because round 4 proved the "+ grace" variant loses
+    # that race (rc=124, empty stdout).
     _SENTINEL_SRC = r"""
 import json, os, signal, sys, time
 ppid = int(sys.argv[1]); hb = sys.argv[2]; pend = sys.argv[3]
@@ -910,11 +952,16 @@ while True:
             self._pending_path = os.path.join(root, "pending.json")
             with open(self._hb_path, "w") as file:
                 file.write("startup")
+            # absolute sentinel deadline: BEFORE the external kill window
+            # opens at total_deadline (round-4 rc=124 postmortem), after
+            # the in-process total timer (total − 90) had its chance
+            sentinel_total = self.total_deadline - min(
+                30.0, 0.1 * self.total_deadline)
             self._sentinel = subprocess.Popen(
                 [sys.executable, "-c", self._SENTINEL_SRC, str(os.getpid()),
                  self._hb_path, self._pending_path,
                  str(self.deadline + grace),
-                 str(self.total_deadline + grace),
+                 str(sentinel_total),
                  os.path.join(_repo_dir(), ".bench_last_healthy.json")],
                 stdout=None, stderr=subprocess.DEVNULL)
         except OSError:
@@ -1091,6 +1138,15 @@ def load_last_healthy(path: str):
 
 def main():
     watchdog = _Watchdog()
+    if os.environ.get("TRANSFLOW_BENCH_SELFTEST_HANG") == "1":
+        # Regression hook (tests/test_bench_health.py): stand-in for a
+        # tunnel RPC that hangs while HOLDING THE GIL before any phase
+        # completes (the round-4 failure shape). _sre backtracks for
+        # ~2**64 steps without releasing the GIL, so no timer thread can
+        # run — the sentinel PROCESS must still print a parseable record
+        # before an external kill lands.
+        import re as _re
+        _re.match(r"(a+)+$", "a" * 64 + "b")
     record_path = os.path.join(_repo_dir(), ".bench_cpu_baseline.json")
     cpu_fps = None
     if os.path.exists(record_path):
@@ -1202,14 +1258,16 @@ def main():
         # deadline fires, the first attempt's full diagnostics still print
         watchdog.pending_record = refusal_record(tpu)
         if (os.environ.get("TRANSFLOW_BENCH_RETRY", "1") != "0"
-                and watchdog.remaining_s() > 1500.0):
+                and watchdog.remaining_s() > 900.0):
             # one more attempt after a cool-down: sick regimes have been
             # observed clearing within minutes (and persisting for hours —
             # in which case the refusal record is the honest output). The
-            # budget gate keeps a slow first attempt from launching a
-            # retry the total deadline is guaranteed to kill mid-flight.
+            # budget gate only admits a retry when the FIRST attempt
+            # failed fast (>900 s must remain of the 1500 s total), so a
+            # slow first attempt never launches a retry the total
+            # deadline is guaranteed to kill mid-flight.
             watchdog.rearm("retry-cooldown")
-            time.sleep(120.0)
+            time.sleep(60.0)
             tpu = bench_tpu(watchdog)
     if not tpu["healthy"]:
         # last resort before refusing: the slope methodology can extract a
@@ -1219,11 +1277,11 @@ def main():
         # stands — with the slope evidence attached either way.
         slope = None
         if (os.environ.get("TRANSFLOW_BENCH_SLOPE", "1") != "0"
-                and watchdog.remaining_s() > 420.0):
+                and watchdog.remaining_s() > 300.0):
             watchdog.rearm("slope-fallback")
             try:
                 slope = bench_slope(watchdog, budget_s=min(
-                    600.0, watchdog.remaining_s() - 240.0))
+                    600.0, watchdog.remaining_s() - 200.0))
             except Exception as exc:
                 slope = {"verdict": "unmeasurable",
                          "error": repr(exc)[:200]}
@@ -1300,16 +1358,18 @@ def main():
     # the record — the exact failure pending_record exists to prevent.
     write_sidecar(record)
     watchdog.pending_record = dict(record)
-    if os.environ.get("TRANSFLOW_BENCH_LITEFLOWNET", "1") != "0":
+    if (os.environ.get("TRANSFLOW_BENCH_LITEFLOWNET", "1") != "0"
+            and watchdog.remaining_s() > 240.0):
         # CNN figure via the chained methodology — only after the regime
-        # just proved healthy (a quantized window would print garbage)
+        # just proved healthy (a quantized window would print garbage),
+        # and only with budget left above the record-printing reserve
         watchdog.rearm("stage-liteflownet")
         try:
             record.update(_bench_liteflownet())
         except Exception as exc:
             record["liteflownet_error"] = repr(exc)[:200]
         watchdog.pending_record = dict(record)
-    if "--e2e" in sys.argv:
+    if "--e2e" in sys.argv and watchdog.remaining_s() > 240.0:
         # e2e AFTER the health proof: its verdict is the realistic heavy
         # gate a small probe cannot provide (BASELINE.md: probe-healthy /
         # heavy-quantized regimes coexist), and in a sick regime its

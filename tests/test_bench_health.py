@@ -452,3 +452,56 @@ def test_watchdog_remaining_budget():
         assert 0 < w.remaining_s() <= w.total_deadline
     finally:
         w.cancel()
+
+
+def test_phase_budgets_compose_under_total():
+    """Every phase budget must clamp so the record-printing reserve
+    survives it — the property whose absence killed BENCH_r04 (fixed
+    constants summed past the driver's window)."""
+    import bench as bench_mod
+
+    class _FakeDog:
+        def __init__(self, remaining):
+            self._r = remaining
+
+        def remaining_s(self):
+            return self._r
+
+    # plenty of time: the constant wins
+    assert bench_mod._phase_budget(_FakeDog(1400.0), 240.0, 420.0) == 240.0
+    # tight: the clamp leaves exactly the reserve
+    assert bench_mod._phase_budget(_FakeDog(500.0), 240.0, 420.0) == 80.0
+    # exhausted: non-positive => caller skips or floors the phase
+    assert bench_mod._phase_budget(_FakeDog(100.0), 240.0, 420.0) < 0
+    # no watchdog (direct bench_tpu() calls): constant passthrough
+    assert bench_mod._phase_budget(None, 240.0, 420.0) == 240.0
+
+
+def test_full_bench_script_prints_record_under_external_kill(tmp_path):
+    """VERDICT r4 #1(d): launch the REAL bench.py with a stubbed hung
+    backend — a GIL-held hang before any phase completes, the exact
+    round-4 failure shape (rc=124, empty stdout) — under an external
+    `timeout`, and assert a parseable JSON record lands on stdout before
+    the kill."""
+    import json
+    import subprocess
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "TRANSFLOW_BENCH_SELFTEST_HANG": "1",
+        "TRANSFLOW_BENCH_TOTAL_DEADLINE": "25",
+        "TRANSFLOW_BENCH_DEADLINE": "8",
+        "TRANSFLOW_BENCH_SENTINEL_GRACE": "2",
+    })
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        ["timeout", "90", sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=120,
+        env=env)
+    assert proc.returncode != 124, "external timeout beat the record"
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    assert lines, f"empty stdout (stderr tail: {proc.stderr[-500:]})"
+    record = json.loads(lines[-1])
+    assert record["metric"] == "1080p_e2e_fps_flow_warp_composite"
+    assert record["healthy"] is False
+    assert "watchdog never ran" in record["error"]
