@@ -537,6 +537,59 @@ class TestMultiFlow:
         single = read_frames(out_single)
         assert not np.array_equal(merged[-1], single[-1])
 
+    def test_two_flows_batched_matches_per_frame(self, assets, tmp_path):
+        """Two flow sources + ``--merge sum`` take the chunked scan
+        (VERDICT r4 next-#4: multi-flow merges previously dispatched
+        per frame) and must be bit-equal to the per-frame path —
+        reference mainline at transflow/pipeline.py:149-158,496-507."""
+        outs = []
+        for idx, batch in enumerate([1, 4]):
+            out = str(tmp_path / f"mf{idx}-%03d.png")
+            cfg = Config(assets["video"],
+                         extra_flow_paths=[assets["video"]],
+                         flows_merging_function="sum",
+                         output_path=out, vcodec="mjpeg",
+                         pixmap_sources=[PixmapSourceConfig(assets["image"])],
+                         layers=[LayerConfig(0, reset_mode="random",
+                                             reset_random_factor=0.15)],
+                         seed=21, batch_frames=batch)
+            pipeline = run_pipeline(cfg, replace=True)
+            assert pipeline._batch_size == batch
+            outs.append(sorted(tmp_path.glob(f"mf{idx}-*.png")))
+        assert len(outs[0]) == len(outs[1]) == 11
+        for a, b in zip(*outs):
+            fa = cv2.imread(str(a))
+            fb = cv2.imread(str(b))
+            assert np.array_equal(fa, fb), a.name
+
+    def test_mixed_frame_and_flow_sources_batched(self, assets, tmp_path):
+        """A frame-yielding source (estimated in the scan, warm-start
+        carry) merged with a flow-yielding one (archive replay, no carry)
+        batches through the same generalized scan, bit-equal to
+        per-frame."""
+        exp = str(tmp_path / "exp.avi")
+        cfg = Config(assets["video"], output_path=exp, vcodec="mjpeg",
+                     pixmap_sources=[PixmapSourceConfig("noise")], seed=22)
+        run_pipeline(cfg, replace=True, export_flow=True)
+        flow_zip = str(tmp_path / "exp.flow.zip")
+        outs = []
+        for idx, batch in enumerate([1, 4]):
+            out = str(tmp_path / f"mx{idx}-%03d.png")
+            cfg2 = Config(assets["video"],
+                          extra_flow_paths=[flow_zip],
+                          flows_merging_function="average",
+                          output_path=out, vcodec="mjpeg",
+                          pixmap_sources=[PixmapSourceConfig(assets["image"])],
+                          seed=23, batch_frames=batch)
+            pipeline = run_pipeline(cfg2, replace=True)
+            assert pipeline._batch_size == batch
+            outs.append(sorted(tmp_path.glob(f"mx{idx}-*.png")))
+        assert len(outs[0]) == len(outs[1]) == 11
+        for a, b in zip(*outs):
+            fa = cv2.imread(str(a))
+            fb = cv2.imread(str(b))
+            assert np.array_equal(fa, fb), a.name
+
 
 class TestFlowUpscale:
 

@@ -290,13 +290,14 @@ class Engine:
         frame_numbers0 = tuple(
             tuple(0 for _ in p.channel_counts) for p in layer_params)
 
-        def scan_step_tail(comp_state, key, raw, t, fno, chunk_k,
+        def scan_step_tail(comp_state, key, raws, t, fno, chunk_k,
                            const_pixmaps, params_list, pp_masks):
-            """The per-step compositor half shared by BOTH scan bodies
-            (frame-yielding and flow-yielding): the RNG split, pixmap
-            const/chunk merge, frame-number tree and device_step call —
-            the exact arithmetic the chunked==per-frame bit-equality
-            guarantee rests on lives only here."""
+            """The per-step compositor half of the scan body: the RNG
+            split, pixmap const/chunk merge, frame-number tree and
+            device_step call — the exact arithmetic the chunked==per-frame
+            bit-equality guarantee rests on lives only here. ``raws`` is
+            the per-source tuple of raw flows (merged inside
+            device_step, same as process_frame)."""
             key, subkey = jax.random.split(key)
             pixmaps = tuple(
                 tuple(const if chunk is None else chunk
@@ -305,7 +306,7 @@ class Engine:
                 in zip(const_pixmaps, chunk_k))
             frame_numbers = jax.tree.map(lambda _: fno, frame_numbers0)
             comp_state, frame, flow = device_step(
-                comp_state, (raw,), t, pixmaps, subkey, frame_numbers,
+                comp_state, raws, t, pixmaps, subkey, frame_numbers,
                 params_list, pp_masks)
             # export_flows is a static construction-time flag: flows are
             # only stacked (K, H, W, 2 extra HBM + transfer) when a
@@ -313,11 +314,22 @@ class Engine:
             out = (frame, flow) if export_flows else (frame, ())
             return comp_state, key, out
 
-        def device_scan(comp_state, prev_gray, prev_flow, key, grays, ts,
-                        const_pixmaps, pix_chunks, frame0, params_list,
+        def device_scan(comp_state, prev_grays, prev_flows, key, chunks,
+                        ts, const_pixmaps, pix_chunks, frame0, params_list,
                         pp_masks, est_params):
-            """lax.scan over a (K, H, W) chunk — single frame-source fast
-            path; one dispatch per chunk instead of per frame.
+            """lax.scan over N per-source chunks — one dispatch per chunk
+            instead of per frame, for ANY mix of flow sources (the
+            reference's multi-flow ``--flow`` + merge mainline,
+            transflow/pipeline.py:149-158,496-507, batches too).
+
+            Per source i, ``chunks[i]`` is a (K, H, W) uint8 gray chunk
+            (frame-yielding source: estimated in the scan body with the
+            (prev_gray, prev_flow) warm-start carried across steps) or a
+            (K, H, W, 2) float32 raw-flow chunk (flow-yielding source —
+            archive replay / motion vectors, the reference's fastest
+            modes: no estimation, no carry; its ``prev_grays[i]`` /
+            ``prev_flows[i]`` slots are None). The per-step raws tuple
+            feeds the same post-process + merge as process_frame.
 
             Pixmap slots come in two static structures: ``const_pixmaps``
             holds (H, W, C) device arrays for constant sources (None in
@@ -336,104 +348,97 @@ class Engine:
             the per-frame path including random resets."""
             # NOTE: bound at trace time — chunked mode does not follow live
             # estimator re-tuning (the pipeline gates batching accordingly)
-            estimator_step = self.runtimes[0].estimator_step
-            k = grays.shape[0]
+            steps = tuple(rt.estimator_step for rt in self.runtimes)
+            k = ts.shape[0]
             frame_nos = frame0 + jnp.arange(k, dtype=jnp.int32)
 
             def body(carry, inputs):
-                comp_state, prev_gray, prev_flow, key = carry
-                gray, t, fno, chunk_k = inputs
-                # weights as scan-program args, not trace constants
-                raw = estimator_step.fn(prev_gray, gray, prev_flow,
-                                        est_params)
+                comp_state, prev_grays, prev_flows, key = carry
+                per_source, t, fno, chunk_k = inputs
+                raws, next_grays, next_flows = [], [], []
+                for i, step in enumerate(steps):
+                    if step is None:  # flow-yielding: the input IS the raw
+                        raws.append(per_source[i])
+                        next_grays.append(None)
+                        next_flows.append(None)
+                    else:
+                        # weights as scan-program args, not trace constants
+                        raw = step.fn(prev_grays[i], per_source[i],
+                                      prev_flows[i], est_params[i])
+                        raws.append(raw)
+                        next_grays.append(per_source[i])
+                        next_flows.append(raw)
                 comp_state, key, out = scan_step_tail(
-                    comp_state, key, raw, t, fno, chunk_k, const_pixmaps,
-                    params_list, pp_masks)
-                return (comp_state, gray, raw, key), out
+                    comp_state, key, tuple(raws), t, fno, chunk_k,
+                    const_pixmaps, params_list, pp_masks)
+                return (comp_state, tuple(next_grays), tuple(next_flows),
+                        key), out
 
-            ((comp_state, prev_gray, prev_flow, key),
+            ((comp_state, prev_grays, prev_flows, key),
              (frames, flows)) = jax.lax.scan(
-                body, (comp_state, prev_gray, prev_flow, key),
-                (grays, ts, frame_nos, pix_chunks))
-            return comp_state, prev_gray, prev_flow, key, frames, flows
+                body, (comp_state, prev_grays, prev_flows, key),
+                (chunks, ts, frame_nos, pix_chunks))
+            return comp_state, prev_grays, prev_flows, key, frames, flows
 
         self._device_scan = jax.jit(device_scan, donate_argnums=(0, 1, 2))
-
-        def device_scan_flows(comp_state, key, raw_flows, ts, const_pixmaps,
-                              pix_chunks, frame0, params_list, pp_masks):
-            """lax.scan over a (K, H, W, 2) chunk of PRECOMPUTED flows —
-            the archive-replay / motion-vector fast path (no estimation,
-            no estimator carry). Parity: the reference's fastest modes
-            (transflow/flow/sources/archive.py replay and av.py motion-
-            vector side-data); RNG/timestamp/frame-number arithmetic is
-            identical to device_scan so chunked == per-frame bit-exactly."""
-            k = raw_flows.shape[0]
-            frame_nos = frame0 + jnp.arange(k, dtype=jnp.int32)
-
-            def body(carry, inputs):
-                comp_state, key = carry
-                raw, t, fno, chunk_k = inputs
-                comp_state, key, out = scan_step_tail(
-                    comp_state, key, raw, t, fno, chunk_k, const_pixmaps,
-                    params_list, pp_masks)
-                return (comp_state, key), out
-
-            ((comp_state, key), (frames, flows)) = jax.lax.scan(
-                body, (comp_state, key),
-                (raw_flows, ts, frame_nos, pix_chunks))
-            return comp_state, key, frames, flows
-
-        self._device_scan_flows = jax.jit(device_scan_flows,
-                                          donate_argnums=0)
         self._framerate = 30.0  # set by the pipeline before chunking
 
     # ------------------------------------------------------------------
 
-    def process_chunk(self, gray_frames: np.ndarray, const_pixmaps,
+    def process_chunk(self, source_chunks, const_pixmaps,
                       pix_chunks, base_frame: int, frame0: int):
-        """Process a stacked chunk through one scanned dispatch.
+        """Process stacked chunks through one scanned dispatch.
 
-        Only valid for a single non-stream flow source (the pipeline gates
-        on that). For a frame-yielding source ``gray_frames`` is the
-        (K, H, W) uint8 chunk; for a flow-yielding source (archive replay,
-        motion vectors) it is the (K, H, W, 2) raw-flow chunk and the scan
-        skips estimation. ``const_pixmaps``/``pix_chunks``: per-layer tuples
+        ``source_chunks``: one stacked host array per flow source — a
+        (K, H, W) uint8 gray chunk for a frame-yielding source (estimated
+        inside the scan with its warm-start carry) or a (K, H, W, 2)
+        raw-flow chunk for a flow-yielding one (archive replay, motion
+        vectors: no estimation). Any mix batches, including the
+        reference's multi-flow merge mainline
+        (transflow/pipeline.py:149-158,496-507).
+        ``const_pixmaps``/``pix_chunks``: per-layer tuples
         of per-source slots — constant sources carry their persistent
         (H, W, C) device array in the first structure (None in the second);
         video sources carry a stacked (K, H, W, C) host chunk in the second
         (None in the first). Returns the K rendered frames as one device
         array, plus the K post-processed flows when the engine was built
         with ``export_flows`` (else ``()``)."""
-        runtime = self.runtimes[0]
         # pixmaps replicate under a mesh: the render gather's reach through
         # the accumulated mapping is unbounded (parallel/mesh.py)
         pix_chunks = jax.tree.map(
             lambda x: self._put_repl(np.ascontiguousarray(x)), pix_chunks)
         # float64 on host, cast once: matches the per-frame path's
         # jnp.float32((base + k) / framerate) to the last bit
-        ts = np.float32((base_frame + np.arange(len(gray_frames)))
+        ts = np.float32((base_frame + np.arange(len(source_chunks[0])))
                         / self._framerate)
-        if runtime.estimator_step is None:
-            # flow-yielding source (archive replay / motion vectors): the
-            # stacked chunk IS the raw flows — no estimator, no prev carry
-            raws = self._put_chunk(np.ascontiguousarray(
-                np.asarray(gray_frames, dtype=np.float32)))
-            (self.comp_state, self.key, frames, flows) = \
-                self._device_scan_flows(
-                    self.comp_state, self.key, raws, jnp.asarray(ts),
-                    const_pixmaps, pix_chunks, jnp.int32(frame0),
-                    self.layer_params, self._pp_masks)
-            runtime.last_raw = raws[-1]
-            return frames, flows
-        runtime._maybe_rejit()
-        grays = self._put_chunk(np.ascontiguousarray(gray_frames))
-        (self.comp_state, runtime.prev_gray, runtime.prev_flow, self.key,
+        chunks, prev_grays, prev_flows, est_params = [], [], [], []
+        for runtime, chunk in zip(self.runtimes, source_chunks):
+            if runtime.estimator_step is None:
+                # flow-yielding: the stacked chunk IS the raw flows
+                chunks.append(self._put_chunk(np.ascontiguousarray(
+                    np.asarray(chunk, dtype=np.float32))))
+                prev_grays.append(None)
+                prev_flows.append(None)
+                est_params.append(())
+            else:
+                runtime._maybe_rejit()
+                chunks.append(self._put_chunk(np.ascontiguousarray(chunk)))
+                prev_grays.append(runtime.prev_gray)
+                prev_flows.append(runtime.prev_flow)
+                est_params.append(runtime.estimator_step.params)
+        (self.comp_state, prev_grays, prev_flows, self.key,
          frames, flows) = self._device_scan(
-            self.comp_state, runtime.prev_gray, runtime.prev_flow, self.key,
-            grays, jnp.asarray(ts), const_pixmaps, pix_chunks,
+            self.comp_state, tuple(prev_grays), tuple(prev_flows), self.key,
+            tuple(chunks), jnp.asarray(ts), const_pixmaps, pix_chunks,
             jnp.int32(frame0), self.layer_params, self._pp_masks,
-            runtime.estimator_step.params)
-        runtime.last_raw = runtime.prev_flow
+            tuple(est_params))
+        for i, runtime in enumerate(self.runtimes):
+            if runtime.estimator_step is None:
+                runtime.last_raw = chunks[i][-1]
+            else:
+                runtime.prev_gray = prev_grays[i]
+                runtime.prev_flow = prev_flows[i]
+                runtime.last_raw = prev_flows[i]
         return frames, flows
 
     def process_frame(self, items: Sequence[FlowItem], pixmaps, t: float,

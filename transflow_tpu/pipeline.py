@@ -603,32 +603,33 @@ class Pipeline:
     @property
     def _batch_size(self) -> int:
         """Frames per device dispatch. Chunked (lax.scan) mode needs:
-        exactly one non-stream flow source, no lock expression, no live
-        tuning window, and no window output (a K-frame chunk would add K
+        non-stream flow sources, no lock expression, no live tuning
+        window, and no window output (a K-frame chunk would add K
         frames of preview latency). Frame-yielding sources scan through
         the estimator; flow-yielding sources (archive replay, motion
         vectors — the reference's fastest modes) scan the stacked raw
-        flows directly. Still AND video pixmaps both batch (video frames
-        stack into scanned (K, H, W, C) chunks — the reference's mainline
-        ``flow.mp4 -p pixmap.mp4`` case). Batching is ON by default
-        (AUTO_BATCH); ``--batch-frames 1`` forces the per-frame path,
-        ``--batch-frames K`` picks the chunk size. Chunked output is
-        bit-equal to per-frame (tested), so the default only changes
-        throughput."""
+        flows directly; any MIX of sources batches, including the
+        reference's multi-flow ``--flow`` + merge mainline
+        (transflow/pipeline.py:149-158,496-507). Still AND video pixmaps
+        both batch (video frames stack into scanned (K, H, W, C) chunks —
+        the reference's mainline ``flow.mp4 -p pixmap.mp4`` case).
+        Batching is ON by default (AUTO_BATCH); ``--batch-frames 1``
+        forces the per-frame path, ``--batch-frames K`` picks the chunk
+        size. Chunked output is bit-equal to per-frame (tested), so the
+        default only changes throughput."""
         batch = self.config.batch_frames
         if batch is None:
             batch = self.AUTO_BATCH
         if batch <= 1:
             return 1
-        if len(self.flow_sources) != 1:
-            return 1
-        source = self.flow_sources[0]
         if self.config.lock_expr is not None:
             return 1
-        if source.is_stream:  # webcam: realtime, keep per-frame latency
-            return 1
-        if getattr(getattr(source, "config", None), "show_window", False):
-            return 1
+        for source in self.flow_sources:
+            if source.is_stream:  # webcam: realtime, keep per-frame latency
+                return 1
+            if getattr(getattr(source, "config", None), "show_window",
+                       False):
+                return 1
         if self.window_outputs:
             return 1
         return batch
@@ -659,16 +660,17 @@ class Pipeline:
         return ({i: np.stack(f[:count]) for i, f in chunks.items()}
                 if count else {}, count)
 
-    def _run_short_chunk(self, grays, chunk_map, timers):
+    def _run_short_chunk(self, rows, chunk_map, timers):
         """Run an undersized chunk frame-by-frame through the per-frame
         device program (engine.process_frame), with the scan path's exact
-        RNG/timestamp/frame-number arithmetic. Does not advance
+        RNG/timestamp/frame-number arithmetic. ``rows`` is a list of
+        per-source array rows (one row per frame). Does not advance
         self.cursor — the caller accounts the whole chunk."""
         from .flow.sources.base import FlowItem
-        kind = (FlowItem.FRAME if self.flow_sources[0].yields_frames
-                else FlowItem.FLOW)
+        kinds = [FlowItem.FRAME if source.yields_frames else FlowItem.FLOW
+                 for source in self.flow_sources]
         base = self.ckpt_meta.get("cursor", 0) + self.cursor
-        for k, gray in enumerate(grays):
+        for k, row in enumerate(rows):
             pixmaps = tuple(
                 tuple(self._pix_current[i] if self._pix_constant[i]
                       else self.engine._put_repl(chunk_map[i][k])
@@ -679,27 +681,39 @@ class Pipeline:
                                   for binding in self._layer_bindings)
             with timers.stage("device_step"):
                 frame, flow = self.engine.process_frame(
-                    [FlowItem(kind, gray)], pixmaps,
+                    [FlowItem(kind, arr)
+                     for kind, arr in zip(kinds, row)], pixmaps,
                     (base + k) / self.fs_framerate, frame_numbers)
             with timers.stage("drain"):
                 self._drain(frame, flow)
 
     def _mainloop_batched(self, started, total, bar, batch):
-        """Chunked fast path: stack K decoded frames, one scanned dispatch."""
+        """Chunked fast path: stack K decoded frames per source, one
+        scanned dispatch. Sources advance in LOCKSTEP (one row = one item
+        from every source, like the per-frame path's
+        ``[thread.get() for thread in self.flow_threads]``); a rewind
+        prime landing mid-chunk in ANY source flushes the chunk at that
+        row so every estimator chain resets at a chunk boundary."""
         timers = self.timers
-        source_thread = self.flow_threads[0]
+        n_sources = len(self.flow_threads)
         const_pixmaps = tuple(
             tuple(self._pix_current[i] if self._pix_constant[i] else None
                   for i in binding)
             for binding in self._layer_bindings)
         done = False
-        pending = None  # item whose prime forced a chunk flush (repeat loop)
+        pending = None  # item row whose prime forced a chunk flush (repeat)
+
+        def apply_primes(row):
+            for src_idx, item in enumerate(row):
+                if item.prime is not None:
+                    self.engine.runtimes[src_idx].reset(item.prime)
+
         while not done:
             if total is not None and self.cursor >= total:
                 break
             if self.cancel_event is not None and self.cancel_event.is_set():
                 break
-            grays = []
+            rows = []  # one entry per frame: per-source arrays
             with timers.stage("decode_wait"):
                 want = batch if total is None else min(
                     batch, total - self.cursor)
@@ -710,50 +724,59 @@ class Pipeline:
                     want = min(want, self.checkpoint_every
                                - self.cursor % self.checkpoint_every)
                 if pending is not None:
-                    self.engine.runtimes[0].reset(pending.prime)
-                    grays.append(pending.array)
+                    apply_primes(pending)
+                    rows.append([item.array for item in pending])
                     pending = None
-                while len(grays) < want:
-                    try:
-                        item = source_thread.get()
-                    except StopIteration:
-                        done = True
+                while len(rows) < want:
+                    row = []
+                    for thread in self.flow_threads:
+                        try:
+                            row.append(thread.get())
+                        except StopIteration:
+                            # any source ending ends the run (per-frame
+                            # path parity: the row is dropped whole)
+                            done = True
+                            break
+                    if done:
                         break
-                    if item.prime is not None:
-                        if grays:
+                    if any(item.prime is not None for item in row):
+                        if rows:
                             # a rewind landed mid-chunk (repeat loop): flush
                             # what we have so the estimator chain resets at a
                             # chunk boundary, matching the per-frame path
-                            pending = item
+                            pending = row
                             break
-                        self.engine.runtimes[0].reset(item.prime)
-                    grays.append(item.array)
-                chunk_map, avail = self._stack_pixmap_chunks(len(grays))
-                if avail < len(grays):
-                    grays = grays[:avail]
+                        apply_primes(row)
+                    rows.append([item.array for item in row])
+                chunk_map, avail = self._stack_pixmap_chunks(len(rows))
+                if avail < len(rows):
+                    rows = rows[:avail]
                     done = True
                     pending = None
-            if not grays:
+            if not rows:
                 break
-            if len(grays) < batch:
+            if len(rows) < batch:
                 # short chunk (tail of the video, or a checkpoint-aligned
                 # remainder): run it through the shape-stable per-frame
                 # program instead of compiling a scan for this one-off K
                 # (each distinct chunk shape is a separate multi-minute
                 # remote compile). RNG, timestamps and frame numbers
                 # follow the same arithmetic, so output is unchanged.
-                self._run_short_chunk(grays, chunk_map, timers)
+                self._run_short_chunk(rows, chunk_map, timers)
             else:
                 pix_chunks = tuple(
                     tuple(None if self._pix_constant[i] else chunk_map[i]
                           for i in binding)
                     for binding in self._layer_bindings)
                 base = self.ckpt_meta.get("cursor", 0) + self.cursor
+                source_chunks = [
+                    np.stack([row[src_idx] for row in rows])
+                    for src_idx in range(n_sources)]
                 with timers.stage("device_step"):
                     # frame numbers are run-relative like the per-frame
                     # path (_gather_pixmaps); t is absolute likewise
                     frames, flows = self.engine.process_chunk(
-                        np.stack(grays), const_pixmaps, pix_chunks,
+                        source_chunks, const_pixmaps, pix_chunks,
                         base, self.cursor)
                 with timers.stage("drain"):
                     if self.flow_output is not None:
@@ -769,9 +792,9 @@ class Pipeline:
                         for window in self.window_outputs:
                             window.feed(frame)
             previous_cursor = self.cursor
-            self.cursor += len(grays)
+            self.cursor += len(rows)
             if bar is not None:
-                bar.update(len(grays))
+                bar.update(len(rows))
             if (self.checkpoint_every and
                     self.cursor // self.checkpoint_every
                     > previous_cursor // self.checkpoint_every):
