@@ -106,7 +106,96 @@ def test_interrupt_without_job(server):
             f"ws://127.0.0.1:{server.ws_port}") as ws:
         ws.send("INTERRUPT")  # no job: must not crash the server
         ws.send("RELOAD")
-        assert ws.recv(timeout=10) == "RELOADING"
+        message = ws.recv(timeout=10)
+        assert message.startswith("RELOAD ")
+        state = json.loads(message[len("RELOAD "):])
+        assert set(state) == {"ongoing", "outputFile", "previewUrl"}
+        assert state["previewUrl"].endswith("/transflow")
+
+
+def test_reload_reports_finished_job_state(server, test_video, tmp_path):
+    """After a completed GENERATE, a reloading client's RELOAD resync must
+    report ongoing=False and the produced output file (reference
+    gui/server.py:222-227: RELOAD echoes job state so a page reload
+    doesn't lose the session)."""
+    import websockets.sync.client
+
+    out = str(tmp_path / "reload-out.avi")
+    config = {
+        "flow_path": test_video,
+        "output_path": out,
+        "vcodec": "mjpeg",
+        "pixmap_sources": [{"path": "noise", "layers": [0]}],
+        "seed": 3,
+    }
+    with websockets.sync.client.connect(
+            f"ws://127.0.0.1:{server.ws_port}") as ws:
+        ws.send("GENERATE " + json.dumps(config))
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            message = ws.recv(timeout=60)
+            if message.startswith("DONE"):
+                break
+            if message.startswith("ERROR"):
+                raise AssertionError(message)
+    # a fresh connection (simulating the reloaded page) resyncs state
+    with websockets.sync.client.connect(
+            f"ws://127.0.0.1:{server.ws_port}") as ws:
+        ws.send("RELOAD")
+        message = ws.recv(timeout=10)
+        assert message.startswith("RELOAD ")
+        state = json.loads(message[len("RELOAD "):])
+        assert state["ongoing"] is False
+        assert state["outputFile"] == out
+
+
+def test_generate_layered_multi_pixmap(server, test_video, tmp_path):
+    """GENERATE with a 2-layer / 2-pixmap config through a real websocket
+    round trip (reference tests/test_gui.py:33-105 drives the same
+    scope): layered introduction + moveref, one still + one video
+    pixmap, an output file, and a clean DONE."""
+    import websockets.sync.client
+
+    out = str(tmp_path / "layered-out.avi")
+    config = {
+        "flow_path": test_video,
+        "output_path": out,
+        "vcodec": "mjpeg",
+        "pixmap_sources": [
+            {"path": "cnoise", "layers": [0]},
+            {"path": test_video, "layers": [1]},
+        ],
+        "layers": [
+            {"index": 0, "classname": "moveref", "reset_mode": "random",
+             "reset_random_factor": 0.1},
+            {"index": 1, "classname": "introduction",
+             "mask_alpha": "circle:10"},
+        ],
+        "seed": 5,
+    }
+    with websockets.sync.client.connect(
+            f"ws://127.0.0.1:{server.ws_port}") as ws:
+        ws.send("GENERATE " + json.dumps(config))
+        saw_preview = saw_status = done = False
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            message = ws.recv(timeout=120)
+            if message.startswith("PREVIEW"):
+                saw_preview = True
+            elif message.startswith("STATUS"):
+                saw_status = True
+                status = json.loads(message[7:])
+                assert status.get("error") in (None, "")
+            elif message.startswith("DONE"):
+                done = True
+                assert out in message
+                break
+            elif message.startswith("ERROR"):
+                raise AssertionError(message)
+        assert saw_preview and saw_status and done
+        cap = cv2.VideoCapture(out)
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 7
+        cap.release()
 
 
 def test_file_dialog_round_trip_or_headless_error(server):

@@ -137,7 +137,10 @@ class GuiServer:
         self.cancel_event: threading.Event | None = None
         self.job_thread: threading.Thread | None = None
         self._ready = threading.Event()
-        self._reload = False
+        #: the user's file output of the current/last job (None when the
+        #: job only streams) — echoed by RELOAD so a reloading client can
+        #: re-link it (reference gui/server.py:157,222-227)
+        self.output_file: str | None = None
 
     # ------------------------------------------------------------------
     # websocket protocol
@@ -156,9 +159,20 @@ class GuiServer:
         elif message == "INTERRUPT":
             if self.cancel_event is not None:
                 self.cancel_event.set()
+                # reference broadcasts CANCEL after the interrupt so every
+                # client resets its run state (gui/server.py:216-221)
+                self._broadcast("CANCEL")
         elif message == "RELOAD":
-            self._reload = True
-            await websocket.send("RELOADING")
+            # state resync for a (re)loading client — the reference client
+            # sends RELOAD on websocket open and the server answers with
+            # the current job state (gui/server.py:222-227, master.js:524)
+            await websocket.send("RELOAD " + json.dumps({
+                "ongoing": (self.job_thread is not None
+                            and self.job_thread.is_alive()),
+                "outputFile": self.output_file,
+                "previewUrl":
+                    f"http://{self.host}:{self.mjpeg_port}/transflow",
+            }))
         elif message.startswith("FILE_OPEN") or message.startswith(
                 "FILE_SAVE"):
             await self._file_dialog(websocket, message)
@@ -203,6 +217,9 @@ class GuiServer:
         elif cfg.output_path is not None:
             outputs.append(cfg.output_path)
         cfg.output_path = outputs
+        # first user file target (skip the mjpeg preview) for RELOAD resync
+        self.output_file = next(
+            (p for p in outputs[1:] if not str(p).startswith("mjpeg")), None)
         self.cancel_event = threading.Event()
         status_queue: queue.Queue = queue.Queue(maxsize=4)
         self.pipeline = Pipeline(

@@ -280,7 +280,10 @@ async function connect() {
     const port = await (await fetch("/wss")).text();
     ws = new WebSocket(`ws://${location.hostname}:${port.trim()}`);
     ws.onopen = () => { badge.textContent = "connected";
-                        badge.className = "badge ok"; };
+                        badge.className = "badge ok";
+                        /* resync job state after a page reload (reference
+                           master.js:524 sends RELOAD on open) */
+                        ws.send("RELOAD"); };
     ws.onclose = () => { badge.textContent = "disconnected";
                          badge.className = "badge err";
                          setTimeout(connect, 2000); };
@@ -453,6 +456,21 @@ function onMessage(message) {
     $("interrupt").disabled = true;
     $("progress").style.width = "100%";
     status.textContent = "done " + message.slice(4).trim();
+  } else if (message.startsWith("CANCEL")) {
+    $("generate").disabled = false;
+    $("interrupt").disabled = true;
+    status.textContent = "cancelled";
+  } else if (message.startsWith("RELOAD ")) {
+    /* server's answer to our onopen RELOAD: adopt the current job state */
+    const state = JSON.parse(message.slice(7));
+    $("generate").disabled = !!state.ongoing;
+    $("interrupt").disabled = !state.ongoing;
+    if (state.ongoing && state.previewUrl) {
+      $("preview").src = state.previewUrl + "?" + Date.now();
+      status.textContent = "job running";
+    } else if (state.outputFile) {
+      status.textContent = "done " + state.outputFile;
+    }
   } else if (message.startsWith("ERROR")) {
     $("generate").disabled = false;
     $("interrupt").disabled = true;
@@ -612,8 +630,8 @@ window.addEventListener("DOMContentLoaded", () => {
     if (ws && ws.readyState === WebSocket.OPEN) ws.send("INTERRUPT");
   });
   $("reload").addEventListener("click", () => {
-    if (ws && ws.readyState === WebSocket.OPEN) ws.send("RELOAD");
-    setTimeout(() => location.reload(), 200);
+    /* page reload; the fresh websocket's onopen RELOAD resyncs job state */
+    location.reload();
   });
   $("export_json").addEventListener("click", () => {
     const blob = new Blob([JSON.stringify(buildConfig(), null, 2)],
