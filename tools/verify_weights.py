@@ -141,7 +141,12 @@ def verify_reference(path: str) -> dict:
     from transflow.flow.methods import liteflownet as ref
 
     f0, f1 = bundled_frames()
-    net = ref.Network(path).eval()
+    # reference Network() takes no path — it pulls from torch.hub
+    # (liteflownet.py:585-590); route that loader at the local file
+    torch.hub.load_state_dict_from_url = (
+        lambda *a, **k: torch.load(path, map_location="cpu",
+                                   weights_only=True))
+    net = ref.Network().eval()
     t0 = torch.from_numpy(f0.transpose(2, 0, 1)[None].astype(np.float32)
                           / 255.0)
     t1 = torch.from_numpy(f1.transpose(2, 0, 1)[None].astype(np.float32)
