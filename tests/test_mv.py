@@ -91,12 +91,27 @@ def test_bidirectional_source_rejected():
         src._read_item()
 
 
-def test_missing_pyav_raises_clear_error():
+def test_missing_backends_raise_clear_error(monkeypatch):
     src = MotionVectorFlowSource("fake.mp4")
     try:
         import av  # noqa: F401
         pytest.skip("PyAV installed; gating path not reachable")
     except ImportError:
         pass
-    with pytest.raises(ImportError, match="PyAV"):
+    import transflow_tpu.av_native
+    monkeypatch.setattr(transflow_tpu.av_native, "is_available",
+                        lambda: False)
+    with pytest.raises(ImportError, match="PyAV or the native libav shim"):
+        src._open_reader()
+
+
+def test_native_backend_missing_file(tmp_path):
+    # with the native shim available, a bad path is a FileNotFoundError
+    # (not an ImportError) — same contract as the other sources
+    pytest.importorskip("transflow_tpu.av_native")
+    from transflow_tpu.av_native import is_available
+    if not is_available():
+        pytest.skip("native libav shim unavailable")
+    src = MotionVectorFlowSource(str(tmp_path / "missing.mp4"))
+    with pytest.raises(FileNotFoundError):
         src._open_reader()

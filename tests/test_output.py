@@ -59,6 +59,28 @@ class TestEncoded:
         out = EncodedVideoOutput(path, 48, 32, 10.0)
         assert out.output_path.endswith("out.000.mp4")
 
+    def test_h264_vcodec_really_encodes_h264(self, tmp_path):
+        """The reference's default codec is h264 (transflow/output/
+        ffmpeg.py:40-47); on this image only the native libav writer can
+        honor it — the written stream must actually BE H.264, not a
+        silently substituted cv2 codec."""
+        pytest.importorskip("transflow_tpu.av_native")
+        from transflow_tpu.av_native import is_available
+        if not is_available():
+            pytest.skip("native libav shim unavailable")
+        path = str(tmp_path / "real.mp4")
+        with EncodedVideoOutput(path, 48, 32, 10.0, vcodec="h264") as out:
+            assert out.libav is not None, "libav writer tier not selected"
+            for _ in range(5):
+                out.feed(_frame())
+        import cv2
+        cap = cv2.VideoCapture(path)
+        fourcc = int(cap.get(cv2.CAP_PROP_FOURCC)).to_bytes(4, "little")
+        frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        cap.release()
+        assert fourcc in (b"h264", b"avc1", b"H264")
+        assert frames == 5
+
 
 class TestFrames:
 

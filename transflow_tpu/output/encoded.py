@@ -1,9 +1,13 @@
 """Encoded video file output.
 
 Parity reference: transflow/output/ffmpeg.py:10-66 (raw rgb24 piped into an
-ffmpeg subprocess). This implementation prefers the ffmpeg binary when
-present; otherwise it falls back to cv2.VideoWriter (this image ships OpenCV
-with codec support but no ffmpeg binary).
+ffmpeg subprocess). Writer chain, best first:
+
+1. native libav writer (transflow_tpu/av_native.py) — real libx264/libx265
+   encode through the system FFmpeg libraries, for h264/h265 vcodecs;
+2. native IO writer (native/transflow_io.cpp) — cv2 codecs off the GIL;
+3. ffmpeg binary subprocess (the reference's own mechanism), when present;
+4. cv2.VideoWriter fallback.
 """
 import logging
 import shutil
@@ -38,9 +42,25 @@ class EncodedVideoOutput(VideoOutput):
         self.process: subprocess.Popen | None = None
         self.writer = None
         self.native = None
+        self.libav = None
 
     def open(self):
-        # prefer the native writer: encode + color conversion run on a
+        # first choice for real codecs: the native libav writer — actual
+        # libx264/libx265 encode (the reference's default is `-vcodec
+        # h264`, transflow/output/ffmpeg.py:40-47), which neither cv2 (no
+        # H.264 encoder in this build) nor the MJPG native writer gives;
+        # ctypes releases the GIL for the duration of each encode call
+        try:
+            from ..av_native import ENCODERS, H264Writer
+            if self.vcodec in ENCODERS:
+                self.libav = H264Writer(
+                    self.output_path, self.width, self.height,
+                    self.framerate, codec=self.vcodec)
+                return self
+        except Exception:  # noqa: BLE001 — fall through to other writers
+            logger.debug("libav writer unavailable", exc_info=True)
+        self.libav = None
+        # next, the native IO writer: encode + color conversion run on a
         # C++ thread with no GIL (native/transflow_io.cpp)
         try:
             from ..native import NativeWriter, is_available
@@ -80,7 +100,9 @@ class EncodedVideoOutput(VideoOutput):
 
     def feed(self, frame):
         frame = np.asarray(frame, dtype=np.uint8)
-        if self.native is not None:
+        if self.libav is not None:
+            self.libav.feed(frame)
+        elif self.native is not None:
             self.native.feed(frame)
         elif self.process is not None:
             self.process.stdin.write(frame.tobytes())
@@ -89,6 +111,9 @@ class EncodedVideoOutput(VideoOutput):
             self.writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
 
     def close(self):
+        if self.libav is not None:
+            self.libav.close()
+            self.libav = None
         if self.native is not None:
             self.native.close()
             self.native = None
