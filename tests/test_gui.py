@@ -106,8 +106,12 @@ def test_interrupt_without_job(server):
             f"ws://127.0.0.1:{server.ws_port}") as ws:
         ws.send("INTERRUPT")  # no job: must not crash the server
         ws.send("RELOAD")
+        # INTERRUPT may broadcast CANCEL to every client (including this
+        # one) when an earlier test's job left a cancel_event behind —
+        # skim broadcasts until the directed RELOAD answer arrives
         message = ws.recv(timeout=10)
-        assert message.startswith("RELOAD ")
+        while not message.startswith("RELOAD "):
+            message = ws.recv(timeout=10)
         state = json.loads(message[len("RELOAD "):])
         assert set(state) == {"ongoing", "outputFile", "previewUrl"}
         assert state["previewUrl"].endswith("/transflow")

@@ -141,6 +141,11 @@ class GuiServer:
         #: job only streams) — echoed by RELOAD so a reloading client can
         #: re-link it (reference gui/server.py:157,222-227)
         self.output_file: str | None = None
+        #: explicit job-state flag for RELOAD: cleared BEFORE the job
+        #: thread broadcasts DONE/ERROR, so a client that reloads the
+        #: instant it sees DONE never races the thread's own teardown
+        #: (job_thread.is_alive() stays True a beat after the broadcast)
+        self.job_ongoing = False
 
     # ------------------------------------------------------------------
     # websocket protocol
@@ -167,8 +172,7 @@ class GuiServer:
             # sends RELOAD on websocket open and the server answers with
             # the current job state (gui/server.py:222-227, master.js:524)
             await websocket.send("RELOAD " + json.dumps({
-                "ongoing": (self.job_thread is not None
-                            and self.job_thread.is_alive()),
+                "ongoing": self.job_ongoing,
                 "outputFile": self.output_file,
                 "previewUrl":
                     f"http://{self.host}:{self.mjpeg_port}/transflow",
@@ -238,8 +242,10 @@ class GuiServer:
                     if path:
                         produced = path
                         break
+                self.job_ongoing = False  # before the broadcast — see init
                 self._broadcast(f"DONE {produced}".rstrip())
             except Exception as err:  # noqa: BLE001
+                self.job_ongoing = False
                 self._broadcast(f"ERROR {err}")
 
         def monitor():
@@ -255,6 +261,7 @@ class GuiServer:
                     "error": status.error,
                 }))
 
+        self.job_ongoing = True
         self.job_thread = threading.Thread(target=job, daemon=True,
                                            name="gui-job")
         self.job_thread.start()
