@@ -573,7 +573,8 @@ def slope_fit(ns, ts) -> dict:
 
 
 def bench_slope(watchdog=None, budget_s: float = 600.0,
-                lengths=None, passes: int = 3) -> dict:
+                lengths=None, passes: int = 3,
+                estimator_kwargs: dict | None = None) -> dict:
     """Slope-methodology fallback measurement (see ``slope_fit``).
 
     Each sample is ONE dispatch of an n-frame program: ``lax.scan`` over
@@ -601,7 +602,7 @@ def bench_slope(watchdog=None, budget_s: float = 600.0,
         HEIGHT, WIDTH,
         [LayerConfig(0, reset_mode="random", reset_random_factor=0.01)],
         {0: [(3, np.ones((HEIGHT, WIDTH), bool))]},
-        method="farneback", estimator_kwargs={},
+        method="farneback", estimator_kwargs=dict(estimator_kwargs or {}),
         direction=Direction.BACKWARD)
     frames = make_frames(GRAY_SETS + 1)
     state0 = model.init_state(frames[0])

@@ -345,3 +345,84 @@ def test_farneback_bf16_storage_parity(monkeypatch):
     mse = float(np.mean((ours - ref) ** 2))
     psnr = 10 * np.log10(8.0 ** 2 / mse)
     assert psnr >= 40.0, psnr
+
+
+def _warped_pair(h=272, w=480, seed=42):
+    """Smooth textured image + a smooth NON-uniform warp of it — the
+    fixture the fast presets are graded on (pure translation flatters a
+    downscaled estimator; a spatially varying field does not)."""
+    import cv2
+    import scipy.ndimage as ndi
+    rng = np.random.default_rng(seed)
+    tex = ndi.gaussian_filter(rng.standard_normal((h, w)), 2.0)
+    tex = ((tex - tex.min()) / np.ptp(tex) * 255).astype(np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    dx = 3 * np.sin(yy / 40.0) + 2 * np.cos(xx / 55.0)
+    dy = 2 * np.cos(yy / 50.0) - 1.5 * np.sin(xx / 45.0)
+    warped = cv2.remap(tex, (xx - dx).astype(np.float32),
+                       (yy - dy).astype(np.float32), cv2.INTER_LINEAR)
+    return tex, warped, np.stack([dx, dy], axis=-1)
+
+
+def _flow_psnr(flow, ref):
+    mse = float(np.mean((flow - ref) ** 2))
+    return 10 * np.log10(8.0 ** 2 / mse)
+
+
+def test_farneback_downscale_translation():
+    """fb_downscale recovers a uniform shift nearly as well as full res
+    (the shift becomes sub-pixel at the reduced scale)."""
+    import scipy.ndimage as ndi
+    rng = np.random.default_rng(0)
+    base = ndi.gaussian_filter(
+        rng.integers(0, 255, (140, 180)).astype(np.float32), 3.0)
+    a = (base / base.max() * 255).astype(np.uint8)
+    b = np.roll(a, (2, 3), axis=(0, 1))
+    flow = np.asarray(farneback(jnp.asarray(a), jnp.asarray(b), downscale=2))
+    assert flow.shape == (140, 180, 2)
+    interior = flow[20:-20, 20:-20]
+    assert abs(np.median(interior[..., 0]) - 3) < 0.1
+    assert abs(np.median(interior[..., 1]) - 2) < 0.1
+
+
+def test_fast_presets_psnr_guard():
+    """The documented quality floor of the fast presets (docs/PERF.md,
+    assets/README.md): on a smooth non-uniform warp, `fast`
+    (fb_downscale=2) stays within a few dB of the full-res estimator and
+    `fastest` (fb_downscale=4) remains usable. Measured on this fixture
+    (2026-08-20): full-res 36.8 dB vs cv2 / 32.4 dB vs ground truth;
+    fast 29.8 / 28.3; fastest 21.8 / 21.5 (cv2 itself: 34.8 vs GT).
+    Pins sit ~2 dB under the measured values."""
+    import json
+    import os
+    import cv2
+    from transflow_tpu.flow.sources.cv import CvFlowConfig
+    a, b, gt = _warped_pair()
+    ref = cv2.calcOpticalFlowFarneback(a, b, None, 0.5, 3, 15, 3, 5, 1.2, 0)
+    root = os.path.join(os.path.dirname(__file__), "..", "assets", "configs")
+    floors = {"fast.json": (27.0, 26.0), "fastest.json": (19.5, 19.0)}
+    for name, (floor_cv2, floor_gt) in floors.items():
+        with open(os.path.join(root, name), encoding="utf8") as file:
+            cfg = CvFlowConfig(**json.load(file))
+        kwargs = cfg.estimator_kwargs()
+        assert kwargs["downscale"] > 1, name
+        flow = np.asarray(farneback(jnp.asarray(a), jnp.asarray(b), **kwargs))
+        got_cv2 = _flow_psnr(flow, ref)
+        got_gt = _flow_psnr(flow, gt)
+        assert got_cv2 >= floor_cv2, (name, got_cv2)
+        assert got_gt >= floor_gt, (name, got_gt)
+
+
+def test_fb_downscale_validation():
+    import pytest
+    from transflow_tpu.flow.sources.cv import CvFlowConfig
+    with pytest.raises(ValueError, match="fb_downscale"):
+        CvFlowConfig(fb_downscale=0)
+    # round-trips through to_dict like every other knob
+    cfg = CvFlowConfig(fb_downscale=3)
+    assert CvFlowConfig(**cfg.to_dict()).fb_downscale == 3
+    # a downscale that erases the poly_n window is a trace-time error
+    import pytest
+    with pytest.raises(ValueError, match="downscale"):
+        farneback(jnp.zeros((24, 24), jnp.uint8),
+                  jnp.zeros((24, 24), jnp.uint8), downscale=4)

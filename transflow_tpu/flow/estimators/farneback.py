@@ -154,14 +154,25 @@ def _update_flow(poly1, poly2_pack, flow, winsize: int, use_gaussian: bool,
 
 @functools.partial(jax.jit, static_argnames=(
     "pyr_scale", "levels", "winsize", "iterations", "poly_n", "poly_sigma",
-    "flags"))
+    "flags", "downscale"))
 def farneback(prev_gray, next_gray, prev_flow=None, *, pyr_scale: float = 0.5,
               levels: int = 3, winsize: int = 15, iterations: int = 3,
-              poly_n: int = 5, poly_sigma: float = 1.2, flags: int = 0):
+              poly_n: int = 5, poly_sigma: float = 1.2, flags: int = 0,
+              downscale: int = 1):
     """Estimate (H, W, 2) float32 flow from two uint8 grayscale frames.
 
     Arguments mirror cv2.calcOpticalFlowFarneback; ``prev_flow`` is honored
-    only with OPTFLOW_USE_INITIAL_FLOW, like OpenCV."""
+    only with OPTFLOW_USE_INITIAL_FLOW, like OpenCV.
+
+    ``downscale`` (TPU extension, no cv2 counterpart — `fb_downscale` in
+    CvFlowConfig): run the whole estimator at 1/downscale resolution and
+    bilinearly upsample the flow back (magnitudes rescaled). The
+    estimator's HBM traffic — materialized planes AND the per-iteration
+    warp-pack gather, the two candidate bounds in docs/PERF.md — scales
+    by 1/downscale**2, which is what the `fast`/`fastest` presets in
+    assets/configs/ buy; dense flow is smooth so the quality cost is
+    small (PSNR pins in tests/test_flow_ops.py). The output shape stays
+    (H, W, 2) at full resolution."""
     h, w = prev_gray.shape
     sdt = _storage_dtype()
     # uint8 -> bf16 is exact (integers <= 256); pyramid blurs/resizes and
@@ -169,6 +180,24 @@ def farneback(prev_gray, next_gray, prev_flow=None, *, pyr_scale: float = 0.5,
     prev = prev_gray.astype(sdt)
     nxt = next_gray.astype(sdt)
     use_gaussian = bool(flags & OPTFLOW_FARNEBACK_GAUSSIAN)
+
+    downscale = int(downscale)
+    full_h, full_w = h, w
+    if downscale > 1:
+        h = int(round(full_h / downscale))
+        w = int(round(full_w / downscale))
+        if min(h, w) <= 2 * poly_n + 1:
+            raise ValueError(
+                f"downscale={downscale} reduces {full_h}x{full_w} below the "
+                f"poly_n={poly_n} expansion window; lower fb_downscale")
+        # same anti-alias rule as the pyramid levels below
+        sigma = (downscale - 1) * 0.5
+        prev = jax.image.resize(gaussian_blur(prev, sigma), (h, w), "linear")
+        nxt = jax.image.resize(gaussian_blur(nxt, sigma), (h, w), "linear")
+        if prev_flow is not None:
+            prev_flow = jax.image.resize(
+                prev_flow.astype(jnp.float32), (h, w, 2), "bilinear"
+            ) * (1.0 / downscale)
 
     # level sizes, coarsest last; drop levels that get degenerate
     level_shapes = []
@@ -211,4 +240,7 @@ def farneback(prev_gray, next_gray, prev_flow=None, *, pyr_scale: float = 0.5,
             lambda _, f: _update_flow(poly1, poly2_pack, f, winsize,
                                       use_gaussian, storage=sdt),
             flow)
+    if downscale > 1:
+        flow = jax.image.resize(flow, (full_h, full_w, 2),
+                                "bilinear") * float(downscale)
     return flow

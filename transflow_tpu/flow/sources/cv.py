@@ -24,7 +24,7 @@ class CvFlowConfig:
     DEFAULTS = dict(
         method="farneback",
         fb_pyr_scale=0.5, fb_levels=3, fb_winsize=15, fb_iterations=3,
-        fb_poly_n=5, fb_poly_sigma=1.2, fb_flags=0,
+        fb_poly_n=5, fb_poly_sigma=1.2, fb_flags=0, fb_downscale=1,
         hs_alpha=1.0, hs_iterations=3, hs_decay=0.0, hs_delta=1.0,
         lk_window_size=15, lk_max_level=2, lk_step=1,
         lfn_warp_bound=0, lfn_scale=1.0,
@@ -46,6 +46,9 @@ class CvFlowConfig:
         if not 0.0 < float(self.lfn_scale) <= 1.0:
             raise ValueError(
                 f"lfn_scale must be in (0, 1], got {self.lfn_scale}")
+        if int(self.fb_downscale) < 1:
+            raise ValueError(
+                f"fb_downscale must be >= 1, got {self.fb_downscale}")
         self.show_window = show_window
         self.window = None
         self.version = 0  # bumped by the tuning window; engine re-jits
@@ -84,7 +87,8 @@ class CvFlowConfig:
                         iterations=int(self.fb_iterations),
                         poly_n=int(self.fb_poly_n),
                         poly_sigma=self.fb_poly_sigma,
-                        flags=int(self.fb_flags))
+                        flags=int(self.fb_flags),
+                        downscale=int(self.fb_downscale))
         if self.method == "horn-schunck":
             return dict(alpha=self.hs_alpha, max_iters=int(self.hs_iterations),
                         decay=self.hs_decay, delta=self.hs_delta)
