@@ -86,6 +86,38 @@ IN_REGIME_EVIDENCE = (
     "526 -> 342 ms/frame (r2=1.0) across the round-4 reformulations; LFN "
     "per-module profile at 544x960 "
     "(lfn_profile_544x960_inregime_1607.json)")
+FAST_PRESET_AB_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_attempts",
+    "preset_slope_ab_latest.json")
+
+
+def load_preset_ab(path=None):
+    """Summary of the latest tools/preset_slope_ab.py run (or None).
+
+    Attached to every record: the fb_downscale presets' in-regime slope
+    ratios are regime-independent evidence of their per-frame work
+    reduction (ratios carry in the sick regime — BASELINE.md), so they
+    belong in BENCH_r{N}.json whatever the regime does at driver time."""
+    try:
+        with open(path or FAST_PRESET_AB_PATH, encoding="utf8") as file:
+            data = json.load(file)
+        cases = data.get("cases", {})
+        out = {"ts": data.get("ts"),
+               "note": ("fb_downscale preset slope A/B (1080p, r2 and "
+                        "samples in bench_attempts/): ratios measure "
+                        "real per-frame work; see docs/PERF.md presets "
+                        "table")}
+        for name, res in cases.items():
+            out[f"{name}_slope_ms_per_frame"] = res.get(
+                "slope_ms_per_frame")
+            if "speedup_vs_default" in res:
+                out[f"{name}_speedup_vs_default"] = res[
+                    "speedup_vs_default"]
+        return out
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 CHUNKS_PER_SAMPLE = 32  # chained dispatches per timed sample (~5 ms device)
 GRAY_SETS = 4          # distinct input chunks rotated across dispatches
 REPEATS = 15           # median-of-N steady-state samples
@@ -1193,6 +1225,9 @@ def main():
             "last_healthy_record": load_last_healthy(healthy_path),
             "in_regime_evidence": IN_REGIME_EVIDENCE,
         }
+        preset_ab = load_preset_ab()
+        if preset_ab is not None:
+            out["fast_preset_ab"] = preset_ab
         if slope is not None:
             # the slope probe's verdict distinguishes readback-only damage
             # from dispatch serialization — keep its evidence in the record
@@ -1369,6 +1404,29 @@ def main():
             record.update(_bench_liteflownet())
         except Exception as exc:
             record["liteflownet_error"] = repr(exc)[:200]
+        watchdog.pending_record = dict(record)
+    preset_ab = load_preset_ab()
+    if preset_ab is not None:
+        record["fast_preset_ab"] = preset_ab
+    if (os.environ.get("TRANSFLOW_BENCH_FAST_PRESET", "1") != "0"
+            and watchdog.remaining_s() > 300.0):
+        # The >=500 fps preset (assets/configs/fastest.json), measured
+        # live by the checksum-barriered slope ladder in the window the
+        # flagship just proved healthy — the absolute figure for the
+        # docs/PERF.md presets table
+        watchdog.rearm("stage-fast-preset")
+        try:
+            from transflow_tpu.flow.sources.cv import CvFlowConfig
+            with open(os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), "assets", "configs",
+                    "fastest.json"), encoding="utf8") as file:
+                kw = CvFlowConfig(**json.load(file)).estimator_kwargs()
+            record["fastest_preset_slope"] = bench_slope(
+                watchdog, budget_s=min(300.0,
+                                       watchdog.remaining_s() - 200.0),
+                estimator_kwargs=kw)
+        except Exception as exc:
+            record["fastest_preset_error"] = repr(exc)[:200]
         watchdog.pending_record = dict(record)
     if "--e2e" in sys.argv and watchdog.remaining_s() > 240.0:
         # e2e AFTER the health proof: its verdict is the realistic heavy

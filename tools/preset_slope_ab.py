@@ -56,6 +56,13 @@ def main():
             out["cases"][name]["speedup_vs_default"] = round(base_ms / ms, 2)
         print(json.dumps({name: res}), flush=True)
     print(json.dumps(out), flush=True)
+    # fixed-path copy: bench.py attaches this as fast_preset_ab evidence
+    # on every record (refusals included), so the preset speedup survives
+    # into BENCH_r{N}.json whatever the regime does at driver time
+    latest = os.path.join(os.path.dirname(CONFIGS_DIR), "..",
+                          "bench_attempts", "preset_slope_ab_latest.json")
+    with open(os.path.abspath(latest), "w", encoding="utf8") as file:
+        json.dump(out, file)
 
 
 if __name__ == "__main__":
