@@ -4,6 +4,8 @@ module level (compile-cache setup only) — safe under the CPU conftest."""
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import health_verdict  # noqa: E402
@@ -92,6 +94,7 @@ def test_last_healthy_sidecar_round_trip(tmp_path):
     assert load_last_healthy(path) is None
 
 
+@pytest.mark.slow  # spawns real subprocesses under multi-second deadlines
 def test_total_deadline_emits_record_before_external_kill(tmp_path):
     """The absolute cap must print a parseable refusal record even while
     per-phase rearms keep the no-progress timer from firing (the quantized
@@ -119,6 +122,7 @@ def test_total_deadline_emits_record_before_external_kill(tmp_path):
     assert out[-1] != "UNREACHABLE"
 
 
+@pytest.mark.slow  # spawns real subprocesses under multi-second deadlines
 def test_sentinel_fires_when_gil_starved(tmp_path):
     """The Timer-thread watchdog needs the GIL; a hung tunnel RPC holding
     it inside a C call starves the timers forever (observed: a degraded
@@ -166,6 +170,7 @@ def test_liteflownet_stage_smoke(monkeypatch):
     assert np.isfinite(out["liteflownet_1088p_fps"])
 
 
+@pytest.mark.slow  # spawns real subprocesses under multi-second deadlines
 def test_pending_record_survives_deadline(tmp_path):
     """Once a measurement is stashed as pending, a later deadline must
     print THAT record (plus extras_truncated) — never a refusal that
@@ -375,6 +380,7 @@ def test_slope_fit_verdicts():
         "unmeasurable"
 
 
+@pytest.mark.slow  # drives bench main() end-to-end (~80 s on this box)
 def test_main_extras_failure_degrades_not_refuses(monkeypatch, tmp_path,
                                                   capsys):
     """A crash in an optional stage lands as an *_error field on the
@@ -477,6 +483,7 @@ def test_phase_budgets_compose_under_total():
     assert bench_mod._phase_budget(None, 240.0, 420.0) == 240.0
 
 
+@pytest.mark.slow  # spawns real subprocesses under multi-second deadlines
 def test_full_bench_script_prints_record_under_external_kill(tmp_path):
     """VERDICT r4 #1(d): launch the REAL bench.py with a stubbed hung
     backend — a GIL-held hang before any phase completes, the exact

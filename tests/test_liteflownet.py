@@ -6,6 +6,8 @@ import pytest
 
 from transflow_tpu.ops.correlation import correlation7x7
 
+pytestmark = pytest.mark.slow  # heavy e2e/parity file: excluded from the driver-budget quick run (pytest.ini)
+
 
 def build_synthetic_state() -> dict:
     """A numpy state dict with the sniklaus layout (every key and torch-side

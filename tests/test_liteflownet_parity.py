@@ -18,6 +18,8 @@ from transflow_tpu.flow.estimators.liteflownet import (
     _upsample2x_groupdeconv, backwarp)
 from transflow_tpu.flow.estimators.torch_zip import load_torch_zip
 
+pytestmark = pytest.mark.slow  # heavy e2e/parity file: excluded from the driver-budget quick run (pytest.ini)
+
 FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "fixtures")
 

@@ -16,6 +16,8 @@ import pytest
 from transflow_tpu.config import Config, LayerConfig, PixmapSourceConfig
 from transflow_tpu.pipeline import Pipeline
 
+pytestmark = pytest.mark.slow  # heavy e2e/parity file: excluded from the driver-budget quick run (pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def assets(tmp_path_factory):
