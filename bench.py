@@ -20,9 +20,12 @@ median of REPEATS samples. The figure is physically auditable BOTH ways
 (round-4 correction, docs/PERF.md): per-frame HBM traffic is at least
 MIN_BYTES_PER_FRAME (the mapping-pair round trip + frame IO — the 60 MB
 carry does NOT stay VMEM-resident; the compile reports 1.53 GB of temps
-per chunk), so a healthy reading must land between the 100-fps physical
-floor and CEILING_FPS (~32.9k); anything outside is refused as an
-infrastructure artifact. A healthy standard reading is additionally
+per chunk), so a healthy reading must land between the measured-wall
+physical floor (GENUINE_FLOOR_FPS — the round-5 gather-wall probes put
+genuine gather-bound readings as low as ~3 fps at defaults) and
+CEILING_FPS (~32.9k); anything outside is refused as an infrastructure
+artifact, and low-but-tight slope readings are accepted only alongside
+a compute-healthy probe_mxu_sol score from the same window. A healthy standard reading is additionally
 cross-checked against the slope methodology (program-length regression
 with an on-device checksum accumulator — immune to readback
 short-circuits); on disagreement the slope figure wins. Alongside fps the
@@ -75,6 +78,64 @@ MIN_BYTES_PER_FRAME = 2 * (2 * 2 * HEIGHT * WIDTH) + 4 * HEIGHT * WIDTH
 CEILING_FPS = HBM_GBPS * 1e9 / MIN_BYTES_PER_FRAME  # ~32.9k fps
 
 CHUNK = 16             # frames per device dispatch (lax.scan)
+
+# --- measured gather wall (round-5 healthy-window probes, 2026-08-20) ------
+# tools/gather_wall_probe.py at 1080p in a window where chained bf16
+# matmuls simultaneously sustained ~153 TFLOPs (probe_mxu_sol): XLA's TPU
+# gather lowering moves ~0.6-1.8 GB/s EFFECTIVE through random per-pixel
+# gathers (movement_packed 12.9 ms / 14.5 MB, fb_warp_bf16 45.5 ms /
+# 82.9 MB — bench_attempts/round5/gather_wall_1080p_healthy_1044.json).
+# Those per-op costs reconstruct the flagship's measured 342 ms/frame
+# slope exactly, so a LOW flagship reading in a compute-healthy window is
+# the genuine device speed of a gather-bound program — not tunnel damage.
+# The discriminator between "infrastructure-quantized" and "genuinely
+# gather-bound" is probe_mxu_sol: a chained-matmul dispatch with known
+# FLOPs and a data-dependent scalar readback. A quantized window cannot
+# fake >= MXU_HEALTH_TFLOPS (faking 20 TFLOPs through a 550 GFLOP probe
+# needs a < 28 ms completion — which IS a healthy window).
+MXU_HEALTH_TFLOPS = 20.0
+# a compute-healthy window still refuses sub-1-fps flagship readings:
+# even at the measured 0.6 GB/s worst-case wall, the ~0.5 GB/frame
+# default gather traffic completes in well under a second
+GENUINE_FLOOR_FPS = 1.0
+GATHER_WALL_EVIDENCE = (
+    "bench_attempts/round5/gather_wall_1080p_healthy_1044.json — XLA TPU "
+    "gather wall measured 0.6-1.8 GB/s effective in a 153-TFLOPs-verified "
+    "window; per-op costs reconstruct the 342 ms/frame flagship slope")
+
+
+def probe_mxu_sol(n_chain: int = 32, dim: int = 2048) -> float:
+    """Sustained bf16 matmul TFLOPs: ONE dispatch of ``n_chain`` chained
+    ``dim x dim`` matmuls (each step's scalar perturbs the next operand, so
+    nothing can be CSE'd or memoized), completed by a VALUE readback of the
+    data-dependent carry. Known FLOPs / measured wall = TFLOPs.
+
+    This is the compute-health discriminator (see MXU_HEALTH_TFLOPS): the
+    program is too small to be quantized into a passing score, and a
+    passing score proves the device executes at speed AND completions
+    reach the host promptly — so any slow flagship reading taken in the
+    same window is genuine device time, not infrastructure."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((dim, dim)), jnp.bfloat16)
+
+    def step(s, _):
+        m = (a + s.astype(jnp.bfloat16)) @ a
+        return jnp.float32(m[0, 0]) * jnp.float32(1e-6), None
+
+    @jax.jit
+    def run(s0):
+        s, _ = jax.lax.scan(step, s0, None, length=n_chain)
+        return s
+
+    best = float("inf")
+    for i in range(3):
+        start = time.perf_counter()
+        float(np.asarray(run(jnp.float32(i) * jnp.float32(1e-3))))
+        if i:  # first run pays compile
+            best = min(best, time.perf_counter() - start)
+    return 2.0 * dim ** 3 * n_chain / best / 1e12
 
 #: attached to every refusal record (incl. watchdog/sentinel emergency
 #: exits): a refusal is the driver's only artifact in a sick round — it
@@ -258,13 +319,19 @@ def health_verdict(tunnel_rtt, chunk_rtt, fps, ms_per_frame, est_ms,
             f"one {CHUNK}-frame chunk took {chunk_rtt:.1f}s to read back "
             "(healthy: <1s; the ~5-min poll-cycle regime quantizes these) "
             "after the gate's grace period")
-    # PHYSICAL FLOOR: one frame of this program moves >= 8.3 MB of frame
-    # IO through HBM; even at 1% of the chip's ~819 GB/s that is > 120
-    # fps. A reading under 100 fps therefore cannot be device compute.
-    if fps < 100.0:
+    # PHYSICAL FLOOR (round-5 correction): the chunk gate this verdict
+    # sits behind already proved a 16-frame chunk completes in < 2 s
+    # (>= 8 fps marginal), and the measured gather wall
+    # (GATHER_WALL_EVIDENCE) makes genuine readings down to ~3 fps
+    # physically possible at the default config — the old 100-fps floor
+    # assumed gathers near HBM bandwidth and would refuse genuine
+    # gather-bound readings. Below GENUINE_FLOOR_FPS even the measured
+    # worst-case wall cannot explain the reading.
+    if fps < GENUINE_FLOOR_FPS:
         reasons.append(
-            f"{fps:.2f} fps is below the program's physical floor "
-            "(frame IO alone at 1% of HBM bandwidth exceeds 120 fps) — "
+            f"{fps:.2f} fps is below the measured-wall physical floor "
+            f"({GENUINE_FLOOR_FPS:.0f} fps: even at the probed 0.6 GB/s "
+            "gather wall the per-frame traffic completes faster) — "
             "completions are infrastructure-quantized")
     # PHYSICAL CEILING (round-4): the mapping-pair round trip + frame IO
     # alone move MIN_BYTES_PER_FRAME through HBM; a reading implying more
@@ -369,14 +436,33 @@ def bench_tpu(watchdog=None) -> dict:
             break
         time.sleep(30.0)
     if chunk_rtt >= 2.0:
-        # The gate failed: the regime is already proven sick, and its
-        # worst variant KILLS long-running programs outright while single
-        # chunks keep completing on the ~3 s quantum (observed: a
-        # 512-frame chained sample hung >8 min in exactly that state).
-        # Running the standard fused samples here would burn the entire
-        # total budget the slope fallback needs — return the refusal now;
-        # main() routes to bench_slope, whose rungs are short EXEC_CAP-
-        # bounded programs built for this regime.
+        # The gate failed: either the regime is sick (quantized/killing
+        # completions) or the program is genuinely this slow (the
+        # measured gather wall — GATHER_WALL_EVIDENCE — puts the default
+        # config at ~342 ms/frame = 5.5 s/chunk in a HEALTHY window).
+        # probe_mxu_sol disambiguates: a compute-healthy score means the
+        # slope fallback will measure the device, and main() must treat
+        # its figure as genuine however low it lands. Running the
+        # standard fused samples here would burn the entire total budget
+        # the slope fallback needs — return the refusal now; main()
+        # routes to bench_slope, whose rungs are short EXEC_CAP-bounded
+        # programs built for this regime.
+        progress("mxu-sol-probe")
+        try:
+            mxu_tflops = probe_mxu_sol()
+        except Exception:
+            mxu_tflops = 0.0
+        gate_reason = (
+            f"one {CHUNK}-frame chunk took {chunk_rtt:.1f}s to read back "
+            "— standard chained sampling skipped ("
+            + (f"window is compute-healthy at {mxu_tflops:.0f} TFLOPs: "
+               "the chunk cost is genuine gather-bound device time; the "
+               "slope methodology takes the measurement"
+               if mxu_tflops >= MXU_HEALTH_TFLOPS else
+               f"MXU probe {mxu_tflops:.1f} TFLOPs < "
+               f"{MXU_HEALTH_TFLOPS:.0f}: completions are "
+               "infrastructure-quantized, regime kills long programs")
+            + ")")
         return {
             "fps": 0.0, "best_fps": 0.0,
             "tunnel_rtt_s": round(tunnel_rtt, 3),
@@ -385,16 +471,13 @@ def bench_tpu(watchdog=None) -> dict:
             "ms_per_frame": 0.0,
             "stage_ms": {"estimator": 0.0, "compositor_render": 0.0,
                          "fused_total": 0.0,
-                         "skipped": "chunk gate refused — long chained "
-                                    "programs hang in this regime"},
+                         "skipped": "chunk gate refused — slope "
+                                    "methodology takes the measurement"},
             "hbm_io_gbps": 0.0,
             "carry_state_mb": round(state_bytes / 1e6, 1),
             "healthy": False,
-            "unhealthy_reasons": [
-                f"one {CHUNK}-frame chunk took {chunk_rtt:.1f}s to read "
-                "back (healthy: <1s) after the gate's grace period — "
-                "standard chained sampling skipped, regime kills long "
-                "programs"],
+            "mxu_sol_tflops": round(mxu_tflops, 1),
+            "unhealthy_reasons": [gate_reason],
         }
     progress("fused-sample")
 
@@ -541,7 +624,7 @@ def bench_tpu(watchdog=None) -> dict:
     }
 
 
-def slope_fit(ns, ts) -> dict:
+def slope_fit(ns, ts, mxu_sol_tflops=None) -> dict:
     """Regress elapsed-vs-frames over single-dispatch program samples and
     classify the regime. Pure (testable) core of the slope methodology.
 
@@ -580,20 +663,42 @@ def slope_fit(ns, ts) -> dict:
     r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
     fps = 1.0 / slope if slope > 0 else 0.0
     verdict = "unmeasurable"
+    gather_bound = None
     if slope > 0 and r2 > 0.98:
-        # a regime that cannot sustain 320 fps marginal cost is not
-        # measuring the device. Physical ceiling: the mapping-pair HBM
-        # round trip + frame IO cap genuine throughput at CEILING_FPS
-        # (~32.9k on the v5e with the int16-compacted mapping — the ONE
-        # authoritative number, derived from MIN_BYTES_PER_FRAME above;
-        # the pre-compaction int32 figure was ~19.7k, BASELINE.md keeps
-        # the history); a slope implying beyond that is an artifact
-        # (e.g. the whole ladder landed inside one poll cycle).
+        # Physical ceiling: the mapping-pair HBM round trip + frame IO
+        # cap genuine throughput at CEILING_FPS (~32.9k on the v5e with
+        # the int16-compacted mapping — the ONE authoritative number,
+        # derived from MIN_BYTES_PER_FRAME above; the pre-compaction
+        # int32 figure was ~19.7k, BASELINE.md keeps the history); a
+        # slope implying beyond that is an artifact (e.g. the whole
+        # ladder landed inside one poll cycle).
+        #
+        # Physical FLOOR (round-5 correction): a low marginal cost is
+        # only an artifact when the window itself is quantized. When a
+        # probe_mxu_sol score taken in the SAME window clears
+        # MXU_HEALTH_TFLOPS, completions reach the host promptly and the
+        # device demonstrably executes at speed — so a tight low slope
+        # is the genuine throughput of a gather-bound program (the
+        # measured wall, GATHER_WALL_EVIDENCE, reconstructs the default
+        # config's 342 ms/frame from per-op costs). Without that
+        # evidence the old conservative rule stands: a regime that
+        # cannot sustain 320 fps marginal cost is presumed to be
+        # quantizing proportionally to work.
+        compute_healthy = (mxu_sol_tflops is not None
+                           and mxu_sol_tflops >= MXU_HEALTH_TFLOPS)
         if fps < 320.0:
-            verdict = "poll-serialized"
+            if compute_healthy and fps >= GENUINE_FLOOR_FPS:
+                verdict = "device-throughput"
+                gather_bound = (
+                    f"marginal cost {1000.0 * slope:.0f} ms/frame is "
+                    "genuine gather-bound device time: MXU probe "
+                    f"sustained {mxu_sol_tflops:.0f} TFLOPs in the same "
+                    "window (see GATHER_WALL_EVIDENCE)")
+            else:
+                verdict = "poll-serialized"
         elif fps <= CEILING_FPS:
             verdict = "device-throughput"
-    return {
+    out = {
         "verdict": verdict,
         "value": round(fps, 1),
         "slope_ms_per_frame": round(1000.0 * float(slope), 6),
@@ -602,11 +707,16 @@ def slope_fit(ns, ts) -> dict:
         "n_points": int(len(ns_arr)),
         "samples": [[int(n), round(t, 3)] for n, t in zip(ns, ts)],
     }
+    if gather_bound is not None:
+        out["gather_bound"] = gather_bound
+        out["mxu_sol_tflops"] = round(float(mxu_sol_tflops), 1)
+    return out
 
 
 def bench_slope(watchdog=None, budget_s: float = 600.0,
                 lengths=None, passes: int = 3,
-                estimator_kwargs: dict | None = None) -> dict:
+                estimator_kwargs: dict | None = None,
+                mxu_sol_tflops: float | None = None) -> dict:
     """Slope-methodology fallback measurement (see ``slope_fit``).
 
     Each sample is ONE dispatch of an n-frame program: ``lax.scan`` over
@@ -763,7 +873,7 @@ def bench_slope(watchdog=None, budget_s: float = 600.0,
         if ns and len(ts) < len(ns):
             ns.pop()
         crash = repr(exc)[:200]
-    out = slope_fit(ns, ts)
+    out = slope_fit(ns, ts, mxu_sol_tflops=mxu_sol_tflops)
     out["metric"] = "1080p_slope_fps_flow_warp_composite"
     out["unit"] = "frames/sec"
     if crash is not None:
@@ -1217,11 +1327,15 @@ def main():
             "chunk_gate_s": tpu["chunk_gate_s"],
             "stage_ms": tpu["stage_ms"],
             "cpu_reference_fps": round(cpu_fps, 3),
-            "healthy_reference": ("physically-consistent band: 100 fps "
-                                  f"to ~{CEILING_FPS:.0f} fps on one v5e "
-                                  "(docs/PERF.md round-4 accounting; the "
-                                  "pre-round-4 28k-101k records were "
-                                  "barrier-defeat artifacts)"),
+            **({"mxu_sol_tflops": tpu["mxu_sol_tflops"]}
+               if "mxu_sol_tflops" in tpu else {}),
+            "healthy_reference": (
+                "physically-consistent band on one v5e: "
+                f"{GENUINE_FLOOR_FPS:.0f} fps (measured 0.6-1.8 GB/s "
+                "gather wall, compute-healthy window required) to "
+                f"~{CEILING_FPS:.0f} fps (HBM floor traffic); "
+                "docs/PERF.md round-4/5 accounting — the pre-round-4 "
+                "28k-101k records were barrier-defeat artifacts"),
             "last_healthy_record": load_last_healthy(healthy_path),
             "in_regime_evidence": IN_REGIME_EVIDENCE,
         }
@@ -1261,6 +1375,10 @@ def main():
             "slope_n_points": slope["n_points"],
             "slope_samples": slope["samples"],
             "standard_method_refused": "; ".join(tpu["unhealthy_reasons"]),
+            **({"gather_bound": slope["gather_bound"],
+                "mxu_sol_tflops": slope["mxu_sol_tflops"],
+                "gather_wall_evidence": GATHER_WALL_EVIDENCE}
+               if "gather_bound" in slope else {}),
             "tunnel_rtt_s": tpu["tunnel_rtt_s"],
             "chunk_gate_s": tpu["chunk_gate_s"],
             "hbm_io_gbps": round(4.0 * HEIGHT * WIDTH * fps / 1e9, 1),
@@ -1294,7 +1412,11 @@ def main():
         # deadline fires, the first attempt's full diagnostics still print
         watchdog.pending_record = refusal_record(tpu)
         if (os.environ.get("TRANSFLOW_BENCH_RETRY", "1") != "0"
+                and tpu.get("mxu_sol_tflops", 0.0) < MXU_HEALTH_TFLOPS
                 and watchdog.remaining_s() > 900.0):
+            # retry only fights TRANSIENT sickness; a compute-healthy
+            # refusal means the chunk cost is genuine (gather-bound) and
+            # deterministic — go straight to the slope measurement
             # one more attempt after a cool-down: sick regimes have been
             # observed clearing within minutes (and persisting for hours —
             # in which case the refusal record is the honest output). The
@@ -1316,8 +1438,10 @@ def main():
                 and watchdog.remaining_s() > 300.0):
             watchdog.rearm("slope-fallback")
             try:
-                slope = bench_slope(watchdog, budget_s=min(
-                    600.0, watchdog.remaining_s() - 200.0))
+                slope = bench_slope(
+                    watchdog,
+                    budget_s=min(600.0, watchdog.remaining_s() - 200.0),
+                    mxu_sol_tflops=tpu.get("mxu_sol_tflops"))
             except Exception as exc:
                 slope = {"verdict": "unmeasurable",
                          "error": repr(exc)[:200]}

@@ -19,11 +19,33 @@ def test_round2_quantized_signature_flagged():
                              ms_per_frame=578.97, est_ms=459.96,
                              comp_ms=121.88)
     assert reasons, "quantized sick regime must be flagged"
-    assert any("physical floor" in r for r in reasons)
+    # round-5 correction: 1.73 fps alone no longer trips the floor (the
+    # measured gather wall makes genuine ~3 fps readings possible), but
+    # this signature is still refused on the probe RTT and the chunk
+    # gate — it carries no compute-healthy evidence
     assert any("RTT" in r for r in reasons)
     # the 9.3 s chunk itself must be flagged: the verdict bar matches the
     # measurement gate's 2 s, not the looser 10 s it once squeaked under
     assert any("chunk" in r for r in reasons)
+
+
+def test_sub_floor_reading_flagged():
+    """Below GENUINE_FLOOR_FPS even the measured worst-case gather wall
+    cannot explain the reading — infrastructure, not device."""
+    reasons = health_verdict(tunnel_rtt=0.04, chunk_rtt=0.3, fps=0.45,
+                             ms_per_frame=2218.7, est_ms=459.8,
+                             comp_ms=121.2)
+    assert any("physical floor" in r for r in reasons)
+
+
+def test_gather_bound_reading_passes_floor():
+    """A genuine gather-bound reading (round-5 probes: ~3 fps at the
+    default config) behind a PASSING chunk gate must not be refused on
+    the old 100-fps floor."""
+    reasons = health_verdict(tunnel_rtt=0.04, chunk_rtt=0.3, fps=3.0,
+                             ms_per_frame=333.3, est_ms=250.0,
+                             comp_ms=80.0)
+    assert reasons == []
 
 
 def test_sick_chunk_with_healthy_window_sample_flagged():
@@ -232,14 +254,16 @@ def test_main_success_runs_extras_after_flagship(monkeypatch, tmp_path,
         lambda: order.append("e2e") or {"e2e_fps_still": 5.0})
     monkeypatch.setattr(
         bench_mod, "bench_slope",
-        lambda watchdog=None, budget_s=0: order.append("cross") or {
+        lambda watchdog=None, budget_s=0, **kw: order.append("cross") or {
             "verdict": "device-throughput", "value": 5500.0,
             "intercept_s": 0.03, "r2": 0.999, "n_points": 9, "samples": []})
     monkeypatch.setattr(sys, "argv", ["bench.py", "--e2e"])
     monkeypatch.delenv("TRANSFLOW_BENCH_LITEFLOWNET", raising=False)
     monkeypatch.delenv("TRANSFLOW_BENCH_CROSSCHECK", raising=False)
     bench_mod.main()
-    assert order == ["tpu", "cross", "lfn", "e2e"]
+    # the second "cross" is the fastest-preset slope stage (same stubbed
+    # bench_slope, called with estimator_kwargs)
+    assert order == ["tpu", "cross", "lfn", "cross", "e2e"]
     record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert record["healthy"] is True
     # slope agrees within 2x: the standard figure stands, evidence attached
@@ -266,7 +290,7 @@ def test_main_refusal_skips_extras(monkeypatch, tmp_path, capsys):
                         lambda watchdog=None: _sick_tpu_result())
     monkeypatch.setattr(
         bench_mod, "bench_slope",
-        lambda watchdog=None, budget_s=0: {
+        lambda watchdog=None, budget_s=0, **kw: {
             "verdict": "poll-serialized", "value": 5.3,
             "slope_s_per_chunk": 3.0, "intercept_s": 0.5, "r2": 0.999,
             "n_points": 8, "samples": []})
@@ -303,7 +327,7 @@ def test_main_slope_rescues_readback_only_regime(monkeypatch, tmp_path,
                         lambda watchdog=None: _sick_tpu_result())
     monkeypatch.setattr(
         bench_mod, "bench_slope",
-        lambda watchdog=None, budget_s=0: {
+        lambda watchdog=None, budget_s=0, **kw: {
             "verdict": "device-throughput", "value": 29500.0,
             "slope_s_per_chunk": 0.000542, "intercept_s": 3.1,
             "r2": 0.998, "n_points": 12, "samples": [[4, 3.1], [8, 3.1]]})
@@ -380,6 +404,84 @@ def test_slope_fit_verdicts():
         "unmeasurable"
 
 
+def test_slope_fit_gather_bound_verdict():
+    """Round-5: a tight low slope taken in a COMPUTE-HEALTHY window (a
+    probe_mxu_sol score >= MXU_HEALTH_TFLOPS from the same window) is
+    genuine gather-bound device throughput — the round-5 probes
+    reconstruct the 342 ms/frame default-config slope from measured
+    per-op gather costs (bench GATHER_WALL_EVIDENCE). Without the probe
+    the conservative poll-serialized presumption stands."""
+    import bench as bench_mod
+    ns = [16, 32, 64] * 3
+    ts = [0.03 + n * 0.342 for n in ns]  # the measured r5 signature
+    assert bench_mod.slope_fit(ns, ts)["verdict"] == "poll-serialized"
+    fit = bench_mod.slope_fit(ns, ts, mxu_sol_tflops=153.0)
+    assert fit["verdict"] == "device-throughput"
+    assert abs(fit["value"] - 2.9) < 0.11
+    assert "gather-bound" in fit["gather_bound"]
+    assert fit["mxu_sol_tflops"] == 153.0
+    # sub-floor slope stays refused even with the probe
+    assert bench_mod.slope_fit(
+        ns, [0.03 + n * 3.0 for n in ns],
+        mxu_sol_tflops=153.0)["verdict"] == "poll-serialized"
+    # a weak probe score rescues nothing
+    assert bench_mod.slope_fit(
+        ns, ts, mxu_sol_tflops=1.4)["verdict"] == "poll-serialized"
+    # fast windows need no probe: unchanged path
+    fast = bench_mod.slope_fit(ns, [0.03 + n / 8000.0 for n in ns],
+                               mxu_sol_tflops=153.0)
+    assert fast["verdict"] == "device-throughput"
+    assert "gather_bound" not in fast
+
+
+def test_main_gather_bound_window_slope_is_healthy(monkeypatch, tmp_path,
+                                                   capsys):
+    """A compute-healthy gate refusal (mxu_sol_tflops on the bench_tpu
+    result) must SKIP the transient-sickness retry, route to the slope
+    fallback with the probe score, and print a HEALTHY record at the
+    gather-bound figure — the round-5 capture path."""
+    import json
+    import bench as bench_mod
+    calls = {"tpu": 0, "slope": []}
+
+    def fake_tpu(watchdog=None):
+        calls["tpu"] += 1
+        return {**_sick_tpu_result(), "fps": 0.0, "mxu_sol_tflops": 153.2,
+                "unhealthy_reasons": [
+                    "one 16-frame chunk took 5.5s to read back — standard "
+                    "chained sampling skipped (window is compute-healthy "
+                    "at 153 TFLOPs...)"]}
+
+    def fake_slope(watchdog=None, budget_s=0, **kw):
+        calls["slope"].append(kw.get("mxu_sol_tflops"))
+        return {"verdict": "device-throughput", "value": 2.9,
+                "gather_bound": "marginal cost 342 ms/frame is genuine "
+                                "gather-bound device time",
+                "mxu_sol_tflops": 153.2,
+                "slope_ms_per_frame": 341.9, "intercept_s": 0.03,
+                "r2": 1.0, "n_points": 9, "samples": [[16, 5.5]]}
+
+    monkeypatch.setattr(bench_mod, "_repo_dir", lambda: str(tmp_path))
+    monkeypatch.setattr(bench_mod, "bench_cpu_reference", lambda: 0.738)
+    monkeypatch.setattr(bench_mod, "bench_tpu", fake_tpu)
+    monkeypatch.setattr(bench_mod, "bench_slope", fake_slope)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    monkeypatch.setenv("TRANSFLOW_BENCH_RETRY", "1")
+    bench_mod.main()
+    record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert calls["tpu"] == 1, "retry must be skipped: slowness is genuine"
+    assert calls["slope"] == [153.2]
+    assert record["healthy"] is True
+    assert record["value"] == 2.9
+    assert record["mxu_sol_tflops"] == 153.2
+    assert "gather-bound" in record["gather_bound"]
+    assert "gather_wall" in record["gather_wall_evidence"]
+    # sidecar written so future refusals attach this capture
+    side = bench_mod.load_last_healthy(
+        os.path.join(str(tmp_path), ".bench_last_healthy.json"))
+    assert side["value"] == 2.9
+
+
 @pytest.mark.slow  # drives bench main() end-to-end (~80 s on this box)
 def test_main_extras_failure_degrades_not_refuses(monkeypatch, tmp_path,
                                                   capsys):
@@ -419,7 +521,7 @@ def test_main_crosscheck_overrides_defeated_barrier(monkeypatch, tmp_path,
     monkeypatch.setattr(bench_mod, "bench_tpu", lambda watchdog=None: tpu)
     monkeypatch.setattr(
         bench_mod, "bench_slope",
-        lambda watchdog=None, budget_s=0: {
+        lambda watchdog=None, budget_s=0, **kw: {
             "verdict": "device-throughput", "value": 4200.0,
             "intercept_s": 0.03, "r2": 0.999, "n_points": 9,
             "samples": []})  # ...but the strong barrier says 4.5x less
