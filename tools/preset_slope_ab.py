@@ -40,7 +40,13 @@ def preset_kwargs(name: str) -> dict:
 def main():
     budget_s = float(sys.argv[1]) if len(sys.argv) > 1 else 480.0
     cases = [("default", {}),
+             # gather-free two-pass warp at full resolution (round 5,
+             # ops/select_warp.py): same config as default except the
+             # estimator's dominant gather is replaced by shift-selects
+             ("select_warp", {"select_warp": 16}),
              ("fast", preset_kwargs("fast.json")),
+             ("fast_select", {**preset_kwargs("fast.json"),
+                              "select_warp": 16}),
              ("fastest", preset_kwargs("fastest.json"))]
     out = {"metric": "preset_slope_ab_1080p", "ts": time.time(),
            "cases": {}}

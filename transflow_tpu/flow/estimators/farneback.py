@@ -25,6 +25,7 @@ import numpy as np
 
 from ...ops.image import (bilinear_sample_packed, box_filter, gaussian_blur,
                           prepack_bilinear_taps, separable_correlate)
+from ...ops.select_warp import shift_select_warp
 
 OPTFLOW_USE_INITIAL_FLOW = 4  # cv2 flag value
 OPTFLOW_FARNEBACK_GAUSSIAN = 256  # cv2 flag value
@@ -99,7 +100,7 @@ def poly_expansion(image, n: int, sigma: float, storage=jnp.float32):
 
 
 def _update_flow(poly1, poly2_pack, flow, winsize: int, use_gaussian: bool,
-                 storage=jnp.float32):
+                 storage=jnp.float32, select_radius: int = 0):
     """One Farneback displacement-update iteration at one pyramid level.
 
     ``poly2_pack``: prepack_bilinear_taps of the stacked (H, W, 5) image-2
@@ -107,6 +108,11 @@ def _update_flow(poly1, poly2_pack, flow, winsize: int, use_gaussian: bool,
     updates, so the tap pack is built once per level and each iteration
     pays ONE 20-channel gather instead of four 5-channel ones (the
     gather-wall arithmetic in ops/image.py::prepack_bilinear_taps).
+    With ``select_radius`` > 0, ``poly2_pack`` is instead the RAW stacked
+    (H, W, 5) planes and the warp runs gather-free through the two-pass
+    shift-select (ops/select_warp.py — the per-pixel gather is the
+    flagship's measured dominator at ~1 GB/s effective); displacements
+    clamp to the radius.
     ``storage``: dtype of the box-filter operands (_storage_dtype); the
     displacement algebra, aggregation sums and the 2x2 solve stay f32."""
     bx1, by1, axx1, ayy1, axy1 = poly1
@@ -118,7 +124,10 @@ def _update_flow(poly1, poly2_pack, flow, winsize: int, use_gaussian: bool,
     sx = xx + dx
     sy = yy + dy
     # the 5 coefficient planes of image2 warped to x + d
-    p2w = bilinear_sample_packed(poly2_pack, sy, sx)
+    if select_radius > 0:
+        p2w = shift_select_warp(poly2_pack, dy, dx, select_radius)
+    else:
+        p2w = bilinear_sample_packed(poly2_pack, sy, sx)
     bx2, by2, axx2, ayy2, axy2 = (p2w[..., k] for k in range(5))
     # in-bounds confidence: OpenCV ramps down matrices near borders /
     # out-of-range warps; we zero-weight fully out-of-frame samples
@@ -154,11 +163,11 @@ def _update_flow(poly1, poly2_pack, flow, winsize: int, use_gaussian: bool,
 
 @functools.partial(jax.jit, static_argnames=(
     "pyr_scale", "levels", "winsize", "iterations", "poly_n", "poly_sigma",
-    "flags", "downscale"))
+    "flags", "downscale", "select_warp"))
 def farneback(prev_gray, next_gray, prev_flow=None, *, pyr_scale: float = 0.5,
               levels: int = 3, winsize: int = 15, iterations: int = 3,
               poly_n: int = 5, poly_sigma: float = 1.2, flags: int = 0,
-              downscale: int = 1):
+              downscale: int = 1, select_warp: int = 0):
     """Estimate (H, W, 2) float32 flow from two uint8 grayscale frames.
 
     Arguments mirror cv2.calcOpticalFlowFarneback; ``prev_flow`` is honored
@@ -172,7 +181,16 @@ def farneback(prev_gray, next_gray, prev_flow=None, *, pyr_scale: float = 0.5,
     by 1/downscale**2, which is what the `fast`/`fastest` presets in
     assets/configs/ buy; dense flow is smooth so the quality cost is
     small (PSNR pins in tests/test_flow_ops.py). The output shape stays
-    (H, W, 2) at full resolution."""
+    (H, W, 2) at full resolution.
+
+    ``select_warp`` (TPU extension, `fb_select_warp` in CvFlowConfig):
+    when > 0, the per-iteration warp of the image-2 coefficient planes —
+    the flagship's measured gather-wall dominator (~45.5 ms per 1080p
+    instance at ~1.8 GB/s effective; bench GATHER_WALL_EVIDENCE) — runs
+    gather-free through the two-pass shift-select warp with this
+    per-level displacement radius (ops/select_warp.py). Displacements
+    beyond the radius clamp; quality is PSNR-pinned in
+    tests/test_flow_ops.py. 0 = exact gather path."""
     h, w = prev_gray.shape
     sdt = _storage_dtype()
     # uint8 -> bf16 is exact (integers <= 256); pyramid blurs/resizes and
@@ -232,13 +250,18 @@ def farneback(prev_gray, next_gray, prev_flow=None, *, pyr_scale: float = 0.5,
             img1, img2 = prev, nxt
         poly1 = poly_expansion(img1, poly_n, poly_sigma, storage=sdt)
         poly2 = poly_expansion(img2, poly_n, poly_sigma, storage=sdt)
-        poly2_pack = prepack_bilinear_taps(jnp.stack(poly2, axis=-1))
+        poly2_stack = jnp.stack(poly2, axis=-1)
+        # select mode samples the raw stack (no tap pack: the 4-neighbor
+        # taps come from the +1 shifts inside the select passes)
+        poly2_pack = (poly2_stack if select_warp > 0
+                      else prepack_bilinear_taps(poly2_stack))
         # fori_loop keeps the traced program small: the update body is
         # compiled once per level instead of ``iterations`` times
         flow = jax.lax.fori_loop(
             0, iterations,
             lambda _, f: _update_flow(poly1, poly2_pack, f, winsize,
-                                      use_gaussian, storage=sdt),
+                                      use_gaussian, storage=sdt,
+                                      select_radius=select_warp),
             flow)
     if downscale > 1:
         flow = jax.image.resize(flow, (full_h, full_w, 2),

@@ -25,6 +25,7 @@ class CvFlowConfig:
         method="farneback",
         fb_pyr_scale=0.5, fb_levels=3, fb_winsize=15, fb_iterations=3,
         fb_poly_n=5, fb_poly_sigma=1.2, fb_flags=0, fb_downscale=1,
+        fb_select_warp=0,
         hs_alpha=1.0, hs_iterations=3, hs_decay=0.0, hs_delta=1.0,
         lk_window_size=15, lk_max_level=2, lk_step=1,
         lfn_warp_bound=0, lfn_scale=1.0,
@@ -49,6 +50,9 @@ class CvFlowConfig:
         if int(self.fb_downscale) < 1:
             raise ValueError(
                 f"fb_downscale must be >= 1, got {self.fb_downscale}")
+        if int(self.fb_select_warp) < 0:
+            raise ValueError(
+                f"fb_select_warp must be >= 0, got {self.fb_select_warp}")
         self.show_window = show_window
         self.window = None
         self.version = 0  # bumped by the tuning window; engine re-jits
@@ -88,7 +92,8 @@ class CvFlowConfig:
                         poly_n=int(self.fb_poly_n),
                         poly_sigma=self.fb_poly_sigma,
                         flags=int(self.fb_flags),
-                        downscale=int(self.fb_downscale))
+                        downscale=int(self.fb_downscale),
+                        select_warp=int(self.fb_select_warp))
         if self.method == "horn-schunck":
             return dict(alpha=self.hs_alpha, max_iters=int(self.hs_iterations),
                         decay=self.hs_decay, delta=self.hs_delta)

@@ -21,6 +21,7 @@ FIELDS = [
     ("fb_poly_n", "FB poly N", "int", (3, 9)),
     ("fb_poly_sigma", "FB poly sigma", "float", (0.5, 3.0)),
     ("fb_downscale", "FB downscale (1=full res)", "int", (1, 8)),
+    ("fb_select_warp", "FB select-warp radius (0=gather)", "int", (0, 64)),
     ("hs_alpha", "HS alpha", "float", (0.1, 10.0)),
     ("hs_iterations", "HS iterations", "int", (1, 64)),
     ("hs_decay", "HS decay", "float", (0.0, 1.0)),
