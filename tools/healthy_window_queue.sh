@@ -74,6 +74,10 @@ while true; do
         echo "$(date +%H:%M:%S) warp A/B done rc=$?" >> "$LOG"
         timeout 1800 python "$REPO/tools/gather_wall_probe.py" > "$OUT/gather_wall.json" 2> "$OUT/gather_wall.err"
         echo "$(date +%H:%M:%S) gather-wall probe done rc=$?" >> "$LOG"
+        # prices the round-5 select_warp/fast_select arms and refreshes
+        # preset_slope_ab_latest.json (attached to every bench record)
+        timeout 1800 python "$REPO/tools/preset_slope_ab.py" 240 > "$OUT/preset_ab.json" 2> "$OUT/preset_ab.err"
+        echo "$(date +%H:%M:%S) preset A/B done rc=$?" >> "$LOG"
         timeout 3000 python "$REPO/tools/lfn_profile.py" 12 > "$OUT/lfn_profile.json" 2> "$OUT/lfn_profile.err"
         echo "$(date +%H:%M:%S) profile done rc=$?" >> "$LOG"
         touch "$QUEUE_DONE"
@@ -103,6 +107,10 @@ while true; do
         # further degraded attempts (one rescue is enough evidence).
         touch "$OUT/DEGRADED_CAPTURED"
         touch "$OUT/HEALTHY_CAPTURED"
+        # in-regime slope ratios stay valid in a semi-quantized window:
+        # price the select_warp arms while the tunnel is at least alive
+        timeout 1800 python "$REPO/tools/preset_slope_ab.py" 240 > "$OUT/preset_ab_degraded.json" 2> "$OUT/preset_ab_degraded.err"
+        echo "$(date +%H:%M:%S) degraded preset A/B done rc=$?" >> "$LOG"
       fi
     fi
   fi
